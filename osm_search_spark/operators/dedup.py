@@ -1,0 +1,177 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side Column expressions (md5/xxhash64/array ops);
+no Python UDFs. Each operator returns a DataFrame and has a deterministic
+contract so a DuckDB oracle can verify it at small scale.
+
+- exact_dedup: hash-groupBy on normalized content (one shuffle, map-side
+  combined).
+- minhash_signatures + lsh_band_pairs: MinHash over k-char shingles with
+  "min of keyed md5" hash functions (portable: identical in any engine with
+  md5), banded LSH bucket join for near-dup candidate pairs.
+- simhash: 64-bit simhash from xxhash64 of tokens (Spark-side; verified by
+  pytest oracle, not SQL — xxhash64 isn't in DuckDB).
+- ngram_jaccard_pairs: exact Jaccard over token n-grams for candidate pairs
+  (explode + join + ratio; bounded by LSH prefilter at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, tokenize_simple
+
+DEFAULT_SEEDS = ("s0", "s1", "s2", "s3")
+
+
+def exact_dedup_groups(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(text_hash, n_docs, keep_doc) — groups by content hash; keep_doc is
+    the deterministic survivor (min id)."""
+    return (
+        docs.select(F.col(doc_id).alias("doc_id"), F.md5(F.col(text)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    shingle_k: int = 5,
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — MinHash signature; hash_i(s) = md5(seed_i || s),
+    minimum taken lexicographically over the hex digest (engine-portable)."""
+    sh = char_shingles(text, shingle_k)
+
+    def seeded_min(seed: str):
+        # NB: the inner lambda must take exactly ONE parameter — pyspark
+        # passes (element, index) to 2-arg lambdas.
+        def h(s):
+            return F.md5(F.concat(F.lit(seed), s))
+
+        return F.array_min(F.transform(sh, h))
+
+    cols = {f"h{i}": seeded_min(seed) for i, seed in enumerate(seeds)}
+    return docs.select(F.col(doc_id).alias("doc_id"), *[c.alias(n) for n, c in cols.items()])
+
+
+def minhash_sql(
+    docs_rel: str,
+    shingle_k: int = 5,
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+) -> str:
+    """DuckDB oracle twin of minhash_signatures."""
+    sh = (
+        f"[substr(text, i, {shingle_k}) "
+        f"for i in generate_series(1, len(text) - {shingle_k - 1})]"
+    )
+    hashes = ",\n  ".join(
+        f"list_min([md5('{seed}' || s) for s in shingles]) as h{i}"
+        for i, seed in enumerate(seeds)
+    )
+    return (
+        f"with sh as (select doc_id, {sh} as shingles from {docs_rel})\n"
+        f"select cast(doc_id as bigint) as doc_id,\n  {hashes}\nfrom sh"
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: tuple[tuple[str, ...], ...] = (("h0", "h1"), ("h2", "h3"))
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing any full band.
+    Self-join per band on the band key; dedup across bands."""
+    pairs = None
+    for band in bands:
+        keyed = signatures.select(
+            "doc_id", F.concat_ws("|", *band).alias("band_key")
+        )
+        p = (
+            keyed.alias("a")
+            .join(keyed.alias("b"), "band_key")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit simhash over tokens via xxhash64.
+
+    For each bit b: sign = sum over tokens of (+1 if bit set else -1);
+    simhash bit b = 1 iff sign > 0. Expressed with aggregate over the token
+    array per bit — JVM-side; bits folded into one long.
+    """
+    toks = tokenize_simple(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_contrib(b: int):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(
+            1 << b if b < 63 else -(1 << 63)
+        ).cast("long")
+
+    sim = bit_contrib(0)
+    for b in range(1, bits):
+        sim = sim + bit_contrib(b)
+    return docs.select(F.col(doc_id).alias("doc_id"), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over token n-gram sets. With `candidates`
+    (e.g. from LSH) computes only those pairs; otherwise all pairs sharing
+    ≥1 n-gram (explode + self-join on the gram — never a full cross join)."""
+    from ..functions.text import ngrams
+
+    grams = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(F.array_distinct(ngrams(tokenize_simple(text), n))).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "leftsemi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

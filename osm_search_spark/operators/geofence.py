@@ -1,0 +1,110 @@
+"""Geofencing: INSIDE/ENTER/EXIT/OUTSIDE/CROSS as batch window logic.
+
+Reference: pkg/geofence/geofence.go:63-116 — for each new point of a tracked
+entity, compare containment in each (nearby) fence circle against the
+entity's previous point (persisted in bbolt, fence_index.go:56-67). The
+batch re-expression replaces the KV round-trip with `lag()` over
+(entity, seq) — removing the stateful store entirely — and the 3-NN fence
+lookup with the same cell join used everywhere else (fences are few: a
+broadcast cross join below a size threshold).
+
+Status matrix (geofence.go:97-116):
+  prev in  & now in  -> INSIDE
+  prev out & now in  -> ENTER
+  prev in  & now out -> EXIT
+  prev out & now out -> CROSS if the segment prev->now intersects the
+                        circle (circle.go:54-96), else OUTSIDE
+First observation of an entity has no prev: reference treats missing prev
+as "outside" (fence_index.go:56-67 returns zero point) -> ENTER/OUTSIDE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geodesy import EARTH_RADIUS_KM, haversine_km
+
+
+def _line_circle_intersect(
+    alat, alon, blat, blon, clat, clon, radius_km
+) -> F.Column:
+    """Segment AB vs circle C: equirectangular projection around the fence
+    center then quadratic discriminant + segment-param check — the exact
+    logic of circle.go:54-96, as Column arithmetic."""
+    # project to km in the fence's tangent plane
+    coslat = F.cos(F.radians(clat))
+    ax = (F.radians(alon) - F.radians(clon)) * coslat * EARTH_RADIUS_KM
+    ay = (F.radians(alat) - F.radians(clat)) * EARTH_RADIUS_KM
+    bx = (F.radians(blon) - F.radians(clon)) * coslat * EARTH_RADIUS_KM
+    by = (F.radians(blat) - F.radians(clat)) * EARTH_RADIUS_KM
+    dx, dy = bx - ax, by - ay
+    a = dx * dx + dy * dy
+    b = 2.0 * (ax * dx + ay * dy)
+    c = ax * ax + ay * ay - radius_km * radius_km
+    disc = b * b - 4.0 * a * c
+    sq = F.sqrt(F.abs(disc))
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    on_seg = ((t1 >= 0.0) & (t1 <= 1.0)) | ((t2 >= 0.0) & (t2 <= 1.0))
+    return (disc >= 0.0) & (a > 0.0) & on_seg
+
+
+def geofence_status(
+    tracks: DataFrame,
+    fences: DataFrame,
+    entity: str = "query_point_id",
+    seq: str = "seq",
+    nearest_n: int | None = None,
+) -> DataFrame:
+    """(entity, seq, fence_name, status) per track point × fence.
+
+    `nearest_n` optionally restricts to the n nearest fences per point
+    (reference uses 3-NN, geofence.go:63-95) — with broadcast fences the
+    restriction is a window, not a join strategy.
+    """
+    w = Window.partitionBy(entity).orderBy(seq)
+    t = tracks.withColumns(
+        {
+            "prev_lat": F.lag("lat").over(w),
+            "prev_lon": F.lag("lon").over(w),
+        }
+    )
+    fz = fences.select(
+        "fence_name",
+        F.col("lat").alias("flat"),
+        F.col("lon").alias("flon"),
+        "radius_km",
+    )
+    j = t.crossJoin(F.broadcast(fz))
+    if nearest_n is not None:
+        wn = Window.partitionBy(entity, seq).orderBy(
+            haversine_km("lat", "lon", "flat", "flon")
+        )
+        j = j.withColumn("_fr", F.row_number().over(wn)).filter(
+            F.col("_fr") <= nearest_n
+        ).drop("_fr")
+
+    now_in = haversine_km("lat", "lon", "flat", "flon") <= F.col("radius_km")
+    prev_in = F.when(
+        F.col("prev_lat").isNotNull(),
+        haversine_km("prev_lat", "prev_lon", "flat", "flon") <= F.col("radius_km"),
+    ).otherwise(F.lit(False))
+    crosses = F.when(
+        F.col("prev_lat").isNotNull(),
+        _line_circle_intersect(
+            F.col("prev_lat"), F.col("prev_lon"), F.col("lat"), F.col("lon"),
+            F.col("flat"), F.col("flon"), F.col("radius_km"),
+        ),
+    ).otherwise(F.lit(False))
+
+    status = (
+        F.when(prev_in & now_in, "INSIDE")
+        .when(~prev_in & now_in, "ENTER")
+        .when(prev_in & ~now_in, "EXIT")
+        .when(crosses, "CROSS")
+        .otherwise("OUTSIDE")
+    )
+    return j.select(
+        F.col(entity), F.col(seq), "fence_name", status.alias("status")
+    )

@@ -1,0 +1,172 @@
+"""Full-text indexing + ranking as DataFrame aggregations.
+
+Re-expresses the reference's SPIMI inverted index + BM25 family:
+- postings build (SpimiInvert, pkg/index/indexer.go:689-785, and the k-way
+  segment merge indexer.go:652-685) collapses to ONE `groupBy` — Spark's
+  external sort-agg *is* SPIMI;
+- term dictionary (pkg.IDMap, pkg/util.go:16-49) = a dimension DataFrame
+  with deterministic ids (row_number over first-seen doc order — the
+  reference's mutex-guarded first-seen assignment made deterministic);
+- BM25F / BM25+ / TF-IDF scoring (pkg/searcher/searcher.go:249-400) = pure
+  Column arithmetic over the joined (term, doc, tf, len, avgdl, df) frame,
+  one `groupBy(doc).sum()`;
+- posting-list intersection / boolean AND (searcher.go:702-719) = a
+  `groupBy(doc).count() == n_terms` semi-join;
+- prefix match (spell_corrector.go:160-188) = `startswith` on the term dim.
+
+The hot path is entirely JVM-side; no UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, tokenize_simple
+
+# Reference scoring constants (searcher.go:28-38)
+BM25F_K1, BM25F_NAME_W, BM25F_NAME_B, BM25F_ADDR_W, BM25F_ADDR_B = 10.0, 20.0, 0.95, 1.0, 0.3
+BM25PLUS_K1, BM25PLUS_B, BM25PLUS_DELTA = 1.2, 0.98, 1.0
+# Pinned single-field config for oracle-checked BM25 (classic defaults)
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def doc_tokens(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text", simple: bool = True
+) -> DataFrame:
+    tok = tokenize_simple(text) if simple else tokenize(text)
+    return docs.select(F.col(doc_id).alias("doc_id"), tok.alias("tokens"))
+
+
+def build_postings(tokens_df: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) — the inverted index as data. One groupBy replaces
+    SPIMI invert + spill + k-way merge."""
+    return (
+        tokens_df.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_stats(tokens_df: DataFrame) -> DataFrame:
+    """(doc_id, dl) field lengths (indexer.go:806-809)."""
+    return tokens_df.select("doc_id", F.size("tokens").alias("dl"))
+
+
+def term_dict(tokens_df: DataFrame) -> DataFrame:
+    """Deterministic term ids: order by (first_doc, first_pos) — the
+    reference's first-seen order (pkg/util.go:30-42) made race-free."""
+    first_seen = (
+        tokens_df.select(
+            "doc_id", F.posexplode("tokens").alias("pos", "term")
+        )
+        .groupBy("term")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    )
+    w = Window.orderBy(F.col("first.doc_id"), F.col("first.pos"))
+    return first_seen.select(
+        "term", (F.row_number().over(w) - 1).cast("long").alias("term_id")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    doc_id: str = "doc_id",
+    text: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    require_all: bool = False,
+) -> DataFrame:
+    """BM25 over one text field: (doc_id, score). idf = ln((N-df+.5)/(df+.5))
+    exactly as scoreBM25Field (searcher.go:249-315). require_all=True gives
+    the autocomplete AND-intersection semantics (searcher.go:493-532)."""
+    toks = doc_tokens(docs, doc_id, text).persist()
+    postings = build_postings(toks)
+    stats = doc_stats(toks)
+    corpus = stats.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = corpus["n"], corpus["avgdl"]
+
+    qp = postings.filter(F.col("term").isin(query_terms))
+    df_t = qp.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        qp.join(F.broadcast(df_t), "term")
+        .join(stats, "doc_id")
+        .withColumn(
+            "idf",
+            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score"), F.count("*").alias("n_matched")
+    )
+    if require_all:
+        agg = agg.filter(F.col("n_matched") == len(query_terms))
+    return agg.select("doc_id", "score")
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 15,
+    offset: int = 0,
+    **kw,
+) -> DataFrame:
+    """Tokenized free-form query → top-k (doc_id, score, rank) — the scoring
+    core of FreeFormQuery (searcher.go:150-246); spell correction is layered
+    on top by operators/spell.py."""
+    terms = [t for t in query.lower().split() if t]
+    scores = bm25_scores(docs, terms, **kw)
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+    )
+
+
+def bm25_sql(
+    docs_rel: str,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle twin of bm25_scores (identical formula text)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+with toks as (
+  select doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') as tokens
+  from {docs_rel}
+),
+stats as (select doc_id, len(tokens) as dl from toks),
+corpus as (select count(*) as n_docs, avg(dl) as avgdl from stats),
+postings as (
+  select doc_id, unnest(tokens) as term from toks
+),
+tf as (
+  select term, doc_id, count(*) as tf from postings
+  where term in ({terms}) group by term, doc_id
+),
+dft as (select term, count(distinct doc_id) as df from tf group by term),
+scored as (
+  select tf.doc_id,
+    ln((cast(n_docs as double) - df + 0.5) / (df + 0.5))
+      * (tf * ({k1!r} + 1.0))
+      / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / cast(avgdl as double)))
+    as term_score
+  from tf join dft using (term) join stats using (doc_id) cross join corpus
+)
+select cast(doc_id as bigint) as doc_id,
+       round(sum(term_score), {round_to}) as score
+from scored group by doc_id
+"""

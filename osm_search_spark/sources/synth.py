@@ -1,0 +1,200 @@
+"""Deterministic synthetic inputs.
+
+Two kinds:
+
+1. **Derived geo points** — lat/lon derived from `orders` keys by pure
+   integer/double arithmetic. The derivation is ONE SQL string used both by
+   Spark (`F.expr`) and by the DuckDB oracle, so both engines produce
+   bit-identical doubles and the driver's value-hash comparison is exact.
+
+2. **Fixture tables** — admin-boundary polygons (nested rectangles over the
+   Surakarta/Jogja band used throughout the reference tests, e.g.
+   pkg/datastructure/rtree_test.go:222-341), the reference's golden kNN
+   objects, geofence circles, and the image+caption table of BASELINE.json's
+   input_hint (see sources/images.py).
+
+Everything is seeded/closed-form — no wall clock, no RNG state shared across
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- 1. derived points ------------------------------------------------------
+
+# Jabodetabek/Surakarta-ish band; chosen so ~83% of points fall inside the
+# fixture country box and the rest are outside (exercises anti-match).
+LAT_EXPR = "(-7.95 + (cast((o_orderkey * 40503) % 1000003 as double) / 1000003.0) * 0.55)"
+LON_EXPR = "(110.20 + (cast((o_orderkey * 69621) % 999983 as double) / 999983.0) * 0.75)"
+
+
+def points_sql(sf_dir: str | None = None, table: str = "orders") -> str:
+    """Oracle-side derived point set (DuckDB): point_id, lat, lon."""
+    src = table if sf_dir is None else f"'{sf_dir}/orders.parquet'"
+    return (
+        f"select o_orderkey as point_id, {LAT_EXPR} as lat, {LON_EXPR} as lon "
+        f"from {src}"
+    )
+
+
+def derive_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side derived point set — same SQL expression strings, so the
+    doubles are bit-identical to the oracle's."""
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("point_id"),
+            F.expr(LAT_EXPR).alias("lat"),
+            F.expr(LON_EXPR).alias("lon"),
+        )
+    )
+
+
+# --- 2. admin polygon fixture ------------------------------------------------
+
+# Nested rectangles: 1 country (level 2) > 2 provinces (4) > 4 cities (6)
+# > 8 kecamatan (7). Mirrors the multi-level PIP address join of
+# pkg/index/indexer.go:1017-1170. Rectangles so the oracle can verify exact
+# join rows with pure range predicates; concave-ring goldens live in tests/.
+COUNTRY = (-7.90, 110.25, -7.45, 110.90)  # minlat, minlon, maxlat, maxlon
+
+
+def _split(box, axis, n):
+    minlat, minlon, maxlat, maxlon = box
+    out = []
+    for i in range(n):
+        if axis == "lon":
+            w = (maxlon - minlon) / n
+            out.append((minlat, minlon + i * w, maxlat, minlon + (i + 1) * w))
+        else:
+            h = (maxlat - minlat) / n
+            out.append((minlat + i * h, minlon, minlat + (i + 1) * h, maxlon))
+    return out
+
+
+def admin_polygons_py() -> list[dict]:
+    """All fixture polygons as plain dicts (id, name, admin_level, bbox, ring)."""
+    polys = []
+    pid = 0
+
+    def add(name, level, box):
+        nonlocal pid
+        minlat, minlon, maxlat, maxlon = box
+        ring_lat = [minlat, minlat, maxlat, maxlat, minlat]
+        ring_lon = [minlon, maxlon, maxlon, minlon, minlon]
+        polys.append(
+            dict(
+                polygon_id=pid, name=name, admin_level=level,
+                minlat=minlat, minlon=minlon, maxlat=maxlat, maxlon=maxlon,
+                ring_lat=ring_lat, ring_lon=ring_lon,
+            )
+        )
+        pid += 1
+
+    add("nusantara", 2, COUNTRY)
+    provs = _split(COUNTRY, "lon", 2)
+    for i, p in enumerate(provs):
+        add(f"provinsi_{i}", 4, p)
+        cities = _split(p, "lat", 2)
+        for j, c in enumerate(cities):
+            add(f"kota_{i}_{j}", 6, c)
+            kecs = _split(c, "lon", 2)
+            for k, kc in enumerate(kecs):
+                add(f"kecamatan_{i}_{j}_{k}", 7, kc)
+    return polys
+
+
+def admin_polygons(spark: SparkSession) -> DataFrame:
+    rows = admin_polygons_py()
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "polygon_id long, name string, admin_level int, "
+            "minlat double, minlon double, maxlat double, maxlon double, "
+            "ring_lat array<double>, ring_lon array<double>"
+        ),
+    )
+
+
+def admin_polygons_sql() -> str:
+    """DuckDB VALUES twin (bbox only — rectangles, so bbox == exact PIP)."""
+    rows = ",\n".join(
+        f"({p['polygon_id']}, '{p['name']}', {p['admin_level']}, "
+        f"{p['minlat']!r}, {p['minlon']!r}, {p['maxlat']!r}, {p['maxlon']!r})"
+        for p in admin_polygons_py()
+    )
+    return (
+        "select * from (values\n" + rows +
+        "\n) polys(polygon_id, name, admin_level, minlat, minlon, maxlat, maxlon)"
+    )
+
+
+# --- 3. golden kNN objects (exact reference coordinates) ---------------------
+
+# pkg/datastructure/rtree_test.go:222-257 (+ ids 1000/1001 at :330-341)
+GOLDEN_OBJECTS = [
+    (7, -7.546392935195944, 110.77718220472673),
+    (6, -7.5559986670115675, 110.79466621171177),
+    (5, -7.555869730414206, 110.80500875243253),
+    (4, -7.571289544570394, 110.8301500772816),
+    (3, -7.7886707815273155, 110.361625035987),
+    (2, -7.8082872068169475, 110.35793427899466),
+    (1, -7.759889166547908, 110.36689459108496),
+]
+EXTRA_OBJECTS = [
+    (1000, -7.550561079106621, 110.7837156929654),
+    (1001, -7.700002453207869, 110.37712514761436),
+]
+# probe at rtree_test.go:281; expected 5-NN order at :286-290
+KNN_PROBE = (-7.548263971398246, 110.78226484631368)
+KNN_EXPECTED_IDS = [7, 6, 5, 4, 1]
+# probe at rtree_test.go:360; expected nearest id 1 (:362-365)
+NN1_PROBE = (-7.760335932763678, 110.37671195413539)
+
+# kNN probes for oracle-checked queries: stable literals in-band.
+ORACLE_PROBES = [
+    (0, -7.548263971398246, 110.78226484631368),
+    (1, -7.760335932763678, 110.37671195413539),
+    (2, -7.60, 110.55),
+    (3, -7.85, 110.30),
+    (4, -7.50, 110.88),
+]
+
+
+def probes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ORACLE_PROBES, schema="probe_id long, plat double, plon double"
+    )
+
+
+def probes_sql() -> str:
+    rows = ",".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in ORACLE_PROBES)
+    return f"select * from (values {rows}) probes(probe_id, plat, plon)"
+
+
+# --- 4. geofence fixtures (reference README example + circle_test.go) --------
+
+FENCES = [
+    ("monumen_nasional", "a", -6.175264826906892, 106.82716285437488, 1.2),
+    ("circle_a", "a", -7.5680354571554025, 110.81169121664644, 1.0),
+]
+TRACK_POINTS = [
+    ("ojol_budi", 1, -6.169885915687556, 106.87025825100208),
+    ("ojol_budi", 2, -6.177493292684024, 106.82291320206618),
+    ("ojol_budi", 3, -6.175264826906892, 106.82716285437488),
+    ("ojol_budi", 4, -6.169885915687556, 106.87025825100208),
+]
+
+
+def fences_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        FENCES, schema="fence_name string, key string, lat double, lon double, radius_km double"
+    )
+
+
+def track_points_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        TRACK_POINTS, schema="query_point_id string, seq int, lat double, lon double"
+    )

@@ -1,0 +1,110 @@
+"""Dedup + similarity operators vs small brute-force oracles."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osm_search_spark.operators import dedup, similarity
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    groups = {r["keep_doc"]: r["n_docs"] for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "zzz totally different yak")],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signatures(docs).collect()
+    by_id = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_lsh_pairs_finds_near_dups(spark):
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near_b = "the quick brown fox jumps over the lazy dog near the river bank2 today"
+    docs = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, "completely unrelated content about spark shuffles")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    # trigrams doc1: {abc,bcd,cde}, doc2: {abc,bcd,cdx} -> jaccard 2/4 = 0.5
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert abs(r["jaccard"] - 0.5) < 1e-12
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "completely different words about distributed query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sims[1], sims[2]) < hamming(sims[1], sims[3])
+    assert hamming(sims[1], sims[2]) <= 12
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    got = similarity.brute_force_topk(probes, corpus, k=5).collect()
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for pid in (0, 1):
+        cos = (v @ v[pid]) / (norms * norms[pid])
+        cos[pid] = -np.inf
+        order = np.lexsort((np.arange(50), -cos))
+        exp = order[:5].tolist()
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["probe_id"] == pid]
+        assert mine == exp
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    res = similarity.lsh_topk(probes, corpus, k=5, dim=16, n_planes=4)
+    rows = res.collect()
+    assert rows  # buckets non-empty with 4 planes over 200 vecs
+    # every returned neighbor must share the probe's bucket => cos sane
+    for r in rows:
+        assert -1.0001 <= r["cos"] <= 1.0001

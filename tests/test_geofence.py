@@ -1,0 +1,45 @@
+"""Geofence status matrix vs the reference README example and
+pkg/geofence/geofence.go:97-116 transition semantics."""
+
+from osm_search_spark.operators.geofence import geofence_status
+from osm_search_spark.sources import synth
+
+
+def _run(spark, tracks):
+    fences = spark.createDataFrame(
+        [f for f in synth.FENCES if f[0] == "monumen_nasional"],
+        "fence_name string, key string, lat double, lon double, radius_km double",
+    )
+    t = spark.createDataFrame(
+        tracks, "query_point_id string, seq int, lat double, lon double"
+    )
+    rows = geofence_status(t, fences).collect()
+    return {(r["query_point_id"], r["seq"]): r["status"] for r in rows}
+
+
+def test_readme_enter_then_inside(spark):
+    # ojol_budi: far away -> near monas (ENTER) -> at monas (INSIDE) -> away (EXIT)
+    got = _run(spark, synth.TRACK_POINTS)
+    assert got[("ojol_budi", 1)] == "OUTSIDE"  # first obs, outside fence
+    assert got[("ojol_budi", 2)] == "ENTER"
+    assert got[("ojol_budi", 3)] == "INSIDE"
+    assert got[("ojol_budi", 4)] == "EXIT"
+
+
+def test_first_observation_inside_is_enter(spark):
+    got = _run(spark, [("x", 1, -6.175264826906892, 106.82716285437488)])
+    assert got[("x", 1)] == "ENTER"
+
+
+def test_cross_status(spark):
+    # pass through the fence in one step: both endpoints outside, segment
+    # crosses the circle (circle.go:54-96 semantics)
+    got = _run(
+        spark,
+        [
+            ("y", 1, -6.175264826906892, 106.86),
+            ("y", 2, -6.175264826906892, 106.79),
+        ],
+    )
+    assert got[("y", 1)] == "OUTSIDE"
+    assert got[("y", 2)] == "CROSS"

@@ -1,0 +1,80 @@
+"""kNN golden tests mirroring pkg/datastructure/rtree_test.go.
+
+Reference: 7 pinned Surakarta/Jogja objects + 100k random points in a far
+Jakarta box; expected 5-NN order 7,6,5,4,1 (rtree_test.go:286-290) and
+1-NN id 1 with extra objects 1000/1001 (rtree_test.go:362-365). We use 5k
+random far-away points (same semantics — they're ~200 km from the probes)
+to keep the test fast.
+"""
+
+import numpy as np
+
+from osm_search_spark.operators.knn import knn_join
+from osm_search_spark.sources import synth
+
+
+def _objects(spark, extra=()):
+    rng = np.random.default_rng(42)
+    rows = list(synth.GOLDEN_OBJECTS) + list(extra)
+    lat = rng.uniform(-6.107481038495567, -5.995288834299442, 5000)
+    lon = rng.uniform(106.13128828884481, 107.0509652831274, 5000)
+    rows += [(int(8 + i), float(lat[i]), float(lon[i])) for i in range(5000)]
+    return spark.createDataFrame(rows, "obj_id long, olat double, olon double")
+
+
+def _probes(spark, lat, lon):
+    return spark.createDataFrame([(0, lat, lon)], "probe_id long, plat double, plon double")
+
+
+def test_knn5_golden_order(spark):
+    objects = _objects(spark)
+    probes = _probes(spark, *synth.KNN_PROBE)
+    res = knn_join(probes, objects, k=5, res=12).orderBy("rank").collect()
+    assert [r["obj_id"] for r in res] == synth.KNN_EXPECTED_IDS
+
+
+def test_nn1_golden(spark):
+    objects = _objects(spark, extra=synth.EXTRA_OBJECTS)
+    probes = _probes(spark, *synth.NN1_PROBE)
+    res = knn_join(probes, objects, k=1, res=12).collect()
+    assert len(res) == 1 and res[0]["obj_id"] == 1
+
+
+def test_radius_filter_postcondition(spark):
+    # rtree_test.go:369-475: all results within 3 km, with the feature tag
+    rows = [
+        (i, la, lo, {1: 1} if i % 2 else {2: 1})
+        for i, la, lo in synth.GOLDEN_OBJECTS
+    ]
+    objects = spark.createDataFrame(
+        rows, "obj_id long, olat double, olon double, tags map<int,int>"
+    )
+    probes = _probes(spark, *synth.NN1_PROBE)
+    res = knn_join(
+        probes, objects, k=10, res=12, radius_km=3.0, feature="tags[1] = 1"
+    ).collect()
+    assert res, "expected at least one neighbor"
+    for r in res:
+        assert r["dist_km"] <= 3.0
+        assert r["obj_id"] % 2 == 1
+
+
+def test_knn_matches_bruteforce(spark):
+    # probe in the dense random cloud — exercises ring-1 finalization
+    objects = _objects(spark)
+    probes = spark.createDataFrame(
+        [(0, -6.05, 106.6), (1, -6.0, 107.0), (2, -7.55, 110.8)],
+        "probe_id long, plat double, plon double",
+    )
+    got = {
+        (r["probe_id"], r["rank"]): r["obj_id"]
+        for r in knn_join(probes, objects, k=3, res=14).collect()
+    }
+    from osm_search_spark.functions.geometry import haversine_km_np
+
+    obj = objects.toPandas()
+    for pid, pla, plo in [(0, -6.05, 106.6), (1, -6.0, 107.0), (2, -7.55, 110.8)]:
+        d = haversine_km_np(pla, plo, obj["olat"].to_numpy(), obj["olon"].to_numpy())
+        order = np.lexsort((obj["obj_id"].to_numpy(), d))
+        for rank in (1, 2, 3):
+            assert got[(pid, rank)] == obj["obj_id"].to_numpy()[order[rank - 1]]
