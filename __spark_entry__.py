@@ -185,7 +185,8 @@ def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_haversine() -> str:
     la, lo = synth.ORACLE_PROBES[0][1], synth.ORACLE_PROBES[0][2]
-    hav = haversine_km_sql(repr(la), repr(lo), "lat", "lon")
+    from osm_search_spark.sources.synth import dlit
+    hav = haversine_km_sql(dlit(la), dlit(lo), "lat", "lon")
     return f"""
 with points as ({synth.points_sql()})
 select point_id, round({hav}, 6) as dist_km from points
@@ -389,11 +390,11 @@ def q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_geofence() -> str:
     fences = ",".join(
-        f"('{n}', cast({la!r} as double), cast({lo!r} as double), cast({r!r} as double))"
+        f"('{n}', {synth.dlit(la)}, {synth.dlit(lo)}, {synth.dlit(r)})"
         for n, _k, la, lo, r in synth.FENCES
     )
     tracks = ",".join(
-        f"('{e}', cast({s} as integer), cast({la!r} as double), cast({lo!r} as double))"
+        f"('{e}', cast({s} as integer), {synth.dlit(la)}, {synth.dlit(lo)})"
         for e, s, la, lo in synth.TRACK_POINTS
     )
     hav_now = haversine_km_sql("lat", "lon", "flat", "flon")
@@ -448,6 +449,318 @@ from j
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-1b queries: scoring variants, boolean, LM counts, build-pipeline ops
+# ---------------------------------------------------------------------------
+
+# Q17: BM25+ scoring (reference variant, searcher.go:317-354)
+def q_bm25plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = search.bm25plus_scores(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+    return scores.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def sql_bm25plus() -> str:
+    k1, b, delta = search.BM25PLUS_K1, search.BM25PLUS_B, search.BM25PLUS_DELTA
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+with toks as (
+  select doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') as tokens
+  from documents
+),
+stats as (select doc_id, len(tokens) as dl from toks),
+corpus as (select count(*) as n_docs, avg(dl) as avgdl from stats),
+tf as (
+  select term, doc_id, count(*) as tf
+  from (select doc_id, unnest(tokens) as term from toks)
+  where term in ({terms}) group by term, doc_id
+),
+dft as (select term, count(distinct doc_id) as df from tf group by term),
+scored as (
+  select tf.doc_id,
+    (log10(cast(n_docs as double) + 1.0) - log10(df))
+    * ({delta!r} + (({k1!r} + 1.0) + tf)
+       / ({k1!r} * (1.0 - {b!r} + {b!r} * dl / cast(avgdl as double)) + tf))
+    as term_score
+  from tf join dft using (term) join stats using (doc_id) cross join corpus
+)
+select cast(doc_id as bigint) as doc_id, round(sum(term_score), 6) as score
+from scored group by doc_id
+"""
+
+
+# Q18: TF-IDF scoring (searcher.go:356-400, unnormalized like the reference)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = search.tfidf_scores(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+    return scores.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def sql_tfidf() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+with toks as (
+  select doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') as tokens
+  from documents
+),
+corpus as (select count(*) as n_docs from toks),
+tf as (
+  select term, doc_id, count(*) as tf
+  from (select doc_id, unnest(tokens) as term from toks)
+  where term in ({terms}) group by term, doc_id
+),
+dft as (select term, count(distinct doc_id) as df from tf group by term),
+scored as (
+  select tf.doc_id,
+    ((1.0 + log10(tf)) * (log10(cast(n_docs as double)) - log10(df)))
+    * ((1.0 + log10(1.0)) * (log10(cast(n_docs as double)) - log10(df)))
+    as contrib
+  from tf join dft using (term) cross join corpus
+)
+select cast(doc_id as bigint) as doc_id, round(sum(contrib), 6) as score
+from scored group by doc_id
+"""
+
+
+# Q19: boolean query (AND/OR/NOT; completes the reference's declared
+# operators, searcher.go:633-677)
+BOOLEAN_QUERY = "(spark and join) or (window and not merge)"
+
+
+def q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import boolean
+
+    toks = search.doc_tokens(_docs(spark, sf_dir))
+    postings = search.build_postings(toks)
+    all_docs = toks.select("doc_id")
+    return boolean.boolean_search(BOOLEAN_QUERY, postings, all_docs)
+
+
+def sql_boolean() -> str:
+    return """
+with toks as (
+  select doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') as tokens
+  from documents
+),
+p as (select distinct doc_id, unnest(tokens) as term from toks)
+select doc_id from (
+  (select doc_id from p where term = 'spark'
+   intersect select doc_id from p where term = 'join')
+  union
+  (select doc_id from p where term = 'window'
+   except select doc_id from p where term = 'merge')
+)
+"""
+
+
+# Q20: quadgram LM counts with reference padding (ngram_lm.go:189-210)
+def q_quadgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import ngram_lm
+
+    toks = search.doc_tokens(_docs(spark, sf_dir))
+    counts = ngram_lm.ngram_counts(toks, max_n=4, oov_threshold=None)
+    return counts.filter(F.col("n") == 4).select("gram", "count")
+
+
+def sql_quadgram_counts() -> str:
+    return """
+with toks as (
+  select list_concat(['<s>','<s>','<s>','<s>'],
+         list_append(list_filter(string_split(lower(text), ' '), t -> t <> ''), '</s>'))
+         as p
+  from documents
+),
+grams as (
+  select unnest([p[i] || ' ' || p[i+1] || ' ' || p[i+2] || ' ' || p[i+3]
+                 for i in generate_series(1, len(p) - 3)]) as gram
+  from toks
+)
+select gram, count(*) as count from grams group by gram
+"""
+
+
+# Q21: term dictionary with first-seen ids (pkg/util.go:30-42, deterministic)
+def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = search.doc_tokens(_docs(spark, sf_dir))
+    return search.term_dict(toks)
+
+
+def sql_term_dict() -> str:
+    return """
+with toks as (
+  select doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') as tokens
+  from documents
+),
+pos as (
+  select doc_id, unnest(tokens) as term,
+         unnest(generate_series(1, len(tokens))) as pos
+  from toks
+),
+fd as (select term, min(doc_id) as first_doc from pos group by term),
+fp as (
+  select p.term, f.first_doc, min(p.pos) as first_pos
+  from pos p join fd f on p.term = f.term and p.doc_id = f.first_doc
+  group by p.term, f.first_doc
+)
+select term,
+       cast(row_number() over (order by first_doc, first_pos) - 1 as bigint) as term_id
+from fp
+"""
+
+
+# Q22: way assembly + median centroid (indexer.go:168-181) over synth OSM
+def q_way_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.plans import build_pipeline as bp
+    from osm_search_spark.sources import osm as osm_src
+
+    nodes, ways, _ = osm_src.synth_osm(spark)
+    return bp.way_docs(ways, nodes).select(
+        F.col("src_id").alias("way_id"), "name", "lat", "lon"
+    )
+
+
+def sql_way_centroid() -> str:
+    from osm_search_spark.sources import osm as osm_src
+
+    nodes, ways, _ = osm_src.synth_osm_py()
+    node_map = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
+    rows = []
+    for w in ways:
+        name = w["tags"].get("name")
+        if not name:
+            continue
+        from osm_search_spark.sources.synth import dlit
+
+        lats = [node_map[i][0] for i in w["node_ids"]]
+        lons = [node_map[i][1] for i in w["node_ids"]]
+        la = "[" + ",".join(dlit(x) for x in lats) + "]"
+        lo = "[" + ",".join(dlit(x) for x in lons) + "]"
+        rows.append(f"({w['id']}, '{name}', {la}::double[], {lo}::double[])")
+    vals = ",\n".join(rows)
+    return f"""
+with ways as (select * from (values {vals}) w(way_id, name, lats, lons))
+select cast(way_id as bigint) as way_id, name,
+       list_sort(lats)[cast(floor(len(lats)/2) as int) + 1] as lat,
+       list_sort(lons)[cast(floor(len(lons)/2) as int) + 1] as lon
+from ways
+"""
+
+
+# Q23: radius kNN with feature filter (rtree.go:648-672 semantics)
+def q_knn_radius_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probes = synth.probes_df(spark)
+    objects = synth.derive_points(spark, sf_dir).withColumn(
+        "has_feature", F.col("point_id") % 3 == 0
+    )
+    res = knn_join(
+        probes, objects.filter("has_feature"), k=10, res=C.TILE_RES,
+        radius_km=3.0, obj_id="point_id", olat="lat", olon="lon",
+    )
+    return res.select(
+        "probe_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("point_id").alias("obj_id"),
+        F.round("dist_km", 6).alias("dist_km"),
+    )
+
+
+def sql_knn_radius_feature() -> str:
+    hav = haversine_km_sql("pr.plat", "pr.plon", "p.lat", "p.lon")
+    return f"""
+with points as ({synth.points_sql()}),
+probes as ({synth.probes_sql()})
+select probe_id, rank, obj_id, dist_km from (
+  select pr.probe_id,
+         row_number() over (partition by pr.probe_id
+                            order by {hav}, p.point_id) as rank,
+         p.point_id as obj_id,
+         round({hav}, 6) as dist_km
+  from probes pr cross join points p
+  where p.point_id % 3 = 0 and ({hav}) <= 3.0
+) ranked where rank <= 10
+"""
+
+
+# Q24: gap-based sessionization over events (training-pipeline window op)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so ltz epoch == duckdb epoch()
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+def sql_sessionize() -> str:
+    return """
+with e as (
+  select user_id, event_id, ts,
+         case when epoch(ts) - lag(epoch(ts)) over
+                (partition by user_id order by ts, event_id) > 1800
+              or lag(ts) over (partition by user_id order by ts, event_id) is null
+              then 1 else 0 end as new_sess
+  from events
+)
+select user_id, event_id,
+       cast(sum(new_sess) over (partition by user_id order by ts, event_id
+            rows between unbounded preceding and current row) as bigint) as session_id
+from e
+"""
+
+
+# Q25: language-ID heuristic (stopword-hit based; documents carry a lang
+# column but the heuristic is computed from text alone)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions.text import _STOPWORD_LIST
+
+    toks = tokenize_simple("text")
+    hits = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORD_LIST)))
+    ratio = hits / F.size(toks)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(ratio >= 0.10, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+def sql_lang_id() -> str:
+    from osm_search_spark.functions.text import _STOPWORD_LIST
+
+    stops = ", ".join(f"'{w}'" for w in _STOPWORD_LIST)
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    return f"""
+with t as (select doc_id, {toks} as tokens from documents)
+select doc_id,
+       case when cast(len(list_filter(tokens, w -> w in ({stops}))) as double)
+                 / len(tokens) >= 0.10
+            then 'en' else 'other' end as pred_lang
+from t
+"""
+
+
+# Q26 (rows-only): simhash signatures — xxhash64 not available in DuckDB
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+# Q27 (rows-only): pHash near-dup pairs over the synthesized image table
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import image_ops
+    from osm_search_spark.sources import images as img_src
+
+    imgs = img_src.images_table(spark, 48)
+    return image_ops.phash_near_dup_pairs(imgs, max_hamming=16)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -473,6 +786,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality,
         "events_running_sum": q_events_running,
         "geofence_status": q_geofence,
+        "bm25plus_search": q_bm25plus,
+        "tfidf_search": q_tfidf,
+        "boolean_query": q_boolean,
+        "quadgram_counts": q_quadgram_counts,
+        "term_dict": q_term_dict,
+        "way_median_centroid": q_way_centroid,
+        "knn_radius_feature": q_knn_radius_feature,
+        "events_sessionize": q_sessionize,
+        "lang_id": q_lang_id,
+        "simhash": q_simhash,
+        "phash_near_dup": q_phash_near_dup,
     }
 
 
@@ -496,4 +820,15 @@ def oracle_sql() -> dict[str, str]:
         "quality_features": sql_quality(),
         "events_running_sum": sql_events_running(),
         "geofence_status": sql_geofence(),
+        "bm25plus_search": sql_bm25plus(),
+        "tfidf_search": sql_tfidf(),
+        "boolean_query": sql_boolean(),
+        "quadgram_counts": sql_quadgram_counts(),
+        "term_dict": sql_term_dict(),
+        "way_median_centroid": sql_way_centroid(),
+        "knn_radius_feature": sql_knn_radius_feature(),
+        "events_sessionize": sql_sessionize(),
+        "lang_id": sql_lang_id(),
+        # simhash / phash_near_dup: intentionally no oracle (xxhash64 and
+        # image decode are not expressible in DuckDB) -> rows-only check
     }

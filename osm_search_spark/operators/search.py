@@ -170,3 +170,72 @@ select cast(doc_id as bigint) as doc_id,
        round(sum(term_score), {round_to}) as score
 from scored group by doc_id
 """
+
+
+# --- BM25+ and TF-IDF variants (searcher.go:317-400) ------------------------
+
+def bm25plus_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    doc_id: str = "doc_id",
+    text: str = "text",
+    k1: float = BM25PLUS_K1,
+    b: float = BM25PLUS_B,
+    delta: float = BM25PLUS_DELTA,
+) -> DataFrame:
+    """scoreBM25Plus (searcher.go:317-354), replicated faithfully including
+    its quirks: idf = log10(N+1) - log10(df), and the numerator reads
+    (K1+1)+tf — a plus, exactly as written at searcher.go:338-340."""
+    toks = doc_tokens(docs, doc_id, text).persist()
+    postings = build_postings(toks)
+    stats = doc_stats(toks)
+    corpus = stats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = corpus["n"], float(corpus["avgdl"])
+
+    qp = postings.filter(F.col("term").isin(query_terms))
+    df_t = qp.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log10(F.lit(float(n_docs)) + 1.0) - F.log10(F.col("df"))
+    contrib = idf * (
+        delta
+        + ((k1 + 1.0) + F.col("tf"))
+        / (k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)) + F.col("tf"))
+    )
+    return (
+        qp.join(F.broadcast(df_t), "term")
+        .join(stats, "doc_id")
+        .withColumn("term_score", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """scoreTFIDFCosine (searcher.go:356-400): lnc-style
+    (1+log10 tf) * log10(N/df) dot product with the QUERY tf-idf; the
+    reference computes norms but never divides by them — replicated."""
+    toks = doc_tokens(docs, doc_id, text).persist()
+    postings = build_postings(toks)
+    n_docs = toks.count()
+
+    from collections import Counter
+
+    qcounts = Counter(query_terms)
+    qdf = postings.filter(F.col("term").isin(list(qcounts)))
+    df_t = qdf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    qtf = F.create_map(
+        *[x for t, c in qcounts.items() for x in (F.lit(t), F.lit(float(c)))]
+    )
+    idf = F.log10(F.lit(float(n_docs))) - F.log10(F.col("df"))
+    tfidf_q = (1.0 + F.log10(qtf[F.col("term")])) * idf
+    tfidf_d = (1.0 + F.log10(F.col("tf"))) * idf
+    return (
+        qdf.join(F.broadcast(df_t), "term")
+        .withColumn("contrib", tfidf_d * tfidf_q)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )

@@ -22,6 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def dlit(x: float) -> str:
+    """Emit a float as a DOUBLE SQL literal. Bare decimals like
+    -7.8325000000000005 parse as DECIMAL in DuckDB and lose the last ULP on
+    conversion; an exponent suffix forces DOUBLE parsing (bit-exact)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
 # --- 1. derived points ------------------------------------------------------
 
 # Jabodetabek/Surakarta-ish band; chosen so ~83% of points fall inside the
@@ -122,7 +130,7 @@ def admin_polygons_sql() -> str:
     """DuckDB VALUES twin (bbox only — rectangles, so bbox == exact PIP)."""
     rows = ",\n".join(
         f"({p['polygon_id']}, '{p['name']}', {p['admin_level']}, "
-        f"{p['minlat']!r}, {p['minlon']!r}, {p['maxlat']!r}, {p['maxlon']!r})"
+        f"{dlit(p['minlat'])}, {dlit(p['minlon'])}, {dlit(p['maxlat'])}, {dlit(p['maxlon'])})"
         for p in admin_polygons_py()
     )
     return (
@@ -170,7 +178,7 @@ def probes_df(spark: SparkSession) -> DataFrame:
 
 
 def probes_sql() -> str:
-    rows = ",".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in ORACLE_PROBES)
+    rows = ",".join(f"({i}, {dlit(la)}, {dlit(lo)})" for i, la, lo in ORACLE_PROBES)
     return f"select * from (values {rows}) probes(probe_id, plat, plon)"
 
 
