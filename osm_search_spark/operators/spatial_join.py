@@ -81,6 +81,61 @@ def polygon_cell_cover(polygons: DataFrame, res: int = C.JOIN_RES) -> DataFrame:
     )
 
 
+def classified_cover_rows(polygons_rows: list[dict], res: int) -> list[tuple]:
+    """(polygon_id, cell_id, full) rows: FULL cells are entirely inside the
+    polygon (every point in them matches with NO exact test); PARTIAL cells
+    touch the boundary and need the exact winding-number refine.
+
+    FULL test (conservative, exact-safe): all 4 cell corners inside AND no
+    edge's bbox intersects the cell — an edge crossing a cell always
+    intersects its bbox, so a cell passing this test is entirely interior.
+    Refine work then scales with polygon PERIMETER, not area — the property
+    that keeps the join fast when polygons span thousands of cells.
+    """
+    import numpy as np
+
+    from ..functions import cells as CE
+    from ..functions import geometry as G
+
+    out = []
+    for p in polygons_rows:
+        rl, rn = G.close_ring(np.asarray(p["ring_lat"]), np.asarray(p["ring_lon"]))
+        cover = CE.bbox_cover(rl.min(), rn.min(), rl.max(), rn.max(), res)
+        minlat, minlon, maxlat, maxlon = CE.np_cell_bounds(cover)
+        corners_in = np.ones(len(cover), dtype=bool)
+        for cl, cn in ((minlat, minlon), (minlat, maxlon), (maxlat, minlon), (maxlat, maxlon)):
+            corners_in &= G.winding_number(cl, cn, rl, rn) != 0
+        edge_touch = np.zeros(len(cover), dtype=bool)
+        a_lat, a_lon, b_lat, b_lon = rl[:-1], rn[:-1], rl[1:], rn[1:]
+        for i in range(len(a_lat)):
+            e_minlat, e_maxlat = min(a_lat[i], b_lat[i]), max(a_lat[i], b_lat[i])
+            e_minlon, e_maxlon = min(a_lon[i], b_lon[i]), max(a_lon[i], b_lon[i])
+            edge_touch |= (
+                (e_minlat <= maxlat) & (e_maxlat >= minlat)
+                & (e_minlon <= maxlon) & (e_maxlon >= minlon)
+            )
+        full = corners_in & ~edge_touch
+        out.extend(
+            (int(p["polygon_id"]), int(c), bool(f)) for c, f in zip(cover, full)
+        )
+    return out
+
+
+def classified_cover(polygons: DataFrame, res: int = C.JOIN_RES) -> DataFrame:
+    """(polygon_id, cell_id, full) as a DataFrame. The polygon dim is
+    broadcast-small by contract on this path; classification runs once on
+    the driver in numpy (use refine='grouped' + plain cover for dims too
+    large to collect)."""
+    spark = polygons.sparkSession
+    rows = classified_cover_rows(
+        [r.asDict() for r in polygons.select("polygon_id", "ring_lat", "ring_lon").collect()],
+        res,
+    )
+    return spark.createDataFrame(
+        rows, "polygon_id long, cell_id long, full boolean"
+    )
+
+
 def with_bbox(polygons: DataFrame) -> DataFrame:
     """Derive minlat/minlon/maxlat/maxlon from ring arrays if absent
     (NewBoundingBox semantics, geometry.go:21-40)."""
@@ -116,6 +171,144 @@ def cell_join(
         cover = F.broadcast(cover)
     pts = points.withColumn("cell_id", C.latlng_to_cell(lat, lon, res))
     return pts.join(cover, "cell_id", "inner")
+
+
+def pip_expr(plat, plon, ring_lat, ring_lon) -> F.Column:
+    """Winding-number point-in-polygon as a PURE Column expression — the
+    whole test runs inside whole-stage codegen, no Python anywhere.
+
+    Exact replica of the reference windingNumber (geometry.go:100-118)
+    including the segment-bbox boundary short-circuit (:102-106): fold over
+    edges with `aggregate`, accumulator = struct(wn, on_edge).
+    """
+    edges = F.sequence(F.lit(1), F.size(ring_lat) - 1)
+
+    def edge(i):
+        return (
+            F.element_at(ring_lat, i), F.element_at(ring_lon, i),
+            F.element_at(ring_lat, i + 1), F.element_at(ring_lon, i + 1),
+        )
+
+    def on_seg(i):
+        alat, alon, blat, blon = edge(i)
+        return (
+            (plon >= F.least(alon, blon))
+            & (plon <= F.greatest(alon, blon))
+            & (plat >= F.least(alat, blat))
+            & (plat <= F.greatest(alat, blat))
+        )
+
+    def dwn(i):
+        alat, alon, blat, blon = edge(i)
+        cross = (blon - alon) * (plat - alat) - (plon - alon) * (blat - alat)
+        up = (alat <= plat) & (blat > plat) & (cross > 0)
+        dn = (alat > plat) & (blat <= plat) & (cross < 0)
+        return F.when(up, 1).when(dn, -1).otherwise(0)
+
+    # exists() short-circuits the boundary test; the wn fold is a plain int
+    # accumulator (codegen-friendly, no struct boxing per step)
+    on_edge = F.exists(edges, on_seg)
+    wn = F.aggregate(edges, F.lit(0), lambda acc, i: acc + dwn(i))
+    return on_edge | (wn != 0)
+
+
+def pip_expr_unrolled(plat, plon, ring_lat, ring_lon, max_edges: int) -> F.Column:
+    """pip_expr with the edge loop STATICALLY UNROLLED to `max_edges` terms.
+
+    Higher-order functions (aggregate/exists) evaluate on Catalyst's
+    interpreted path — row-at-a-time lambda eval with per-row allocations,
+    which contends on GC and stops scaling with cores. A static sum of
+    when() terms stays inside whole-stage codegen. Used when the polygon
+    dim's longest ring is small (admin rings here are rectangles: 4 edges);
+    rings longer than the unroll bound fall back to the HOF fold.
+    """
+    n = F.size(ring_lat)
+
+    def term(i):  # i = 1-based edge start index
+        alat, alon = F.element_at(ring_lat, i), F.element_at(ring_lon, i)
+        blat, blon = F.element_at(ring_lat, i + 1), F.element_at(ring_lon, i + 1)
+        live = F.lit(i) <= (n - 1)
+        seg = (
+            (plon >= F.least(alon, blon))
+            & (plon <= F.greatest(alon, blon))
+            & (plat >= F.least(alat, blat))
+            & (plat <= F.greatest(alat, blat))
+        )
+        cross = (blon - alon) * (plat - alat) - (plon - alon) * (blat - alat)
+        up = (alat <= plat) & (blat > plat) & (cross > 0)
+        dn = (alat > plat) & (blat <= plat) & (cross < 0)
+        dwn = F.when(~live, 0).when(up, 1).when(dn, -1).otherwise(0)
+        return dwn, (live & seg)
+
+    terms = [term(i) for i in range(1, max_edges + 1)]
+    wn = terms[0][0]
+    on_edge = terms[0][1]
+    for dwn, seg in terms[1:]:
+        wn = wn + dwn
+        on_edge = on_edge | seg
+    return on_edge | (wn != 0)
+
+
+def refine_pip_expr(
+    candidates: DataFrame,
+    polygons: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Exact PIP refine without leaving the JVM: broadcast-join the ring
+    arrays onto candidates and filter with `pip_expr`. The default refine —
+    scales linearly with cores (the Arrow/numpy variants below exist for
+    polygon sets whose rings are too large to evaluate per-row)."""
+    rings = polygons.select(
+        "polygon_id",
+        F.when(
+            (F.element_at("ring_lat", 1) == F.element_at("ring_lat", -1))
+            & (F.element_at("ring_lon", 1) == F.element_at("ring_lon", -1)),
+            F.col("ring_lat"),
+        ).otherwise(F.concat("ring_lat", F.array(F.element_at("ring_lat", 1)))).alias("_rlat"),
+        F.when(
+            (F.element_at("ring_lat", 1) == F.element_at("ring_lat", -1))
+            & (F.element_at("ring_lon", 1) == F.element_at("ring_lon", -1)),
+            F.col("ring_lon"),
+        ).otherwise(F.concat("ring_lon", F.array(F.element_at("ring_lon", 1)))).alias("_rlon"),
+    )
+    # precompute per-edge structs ON THE DIM (once per polygon, broadcast):
+    # the per-candidate fold then iterates a build-side array — no per-row
+    # sequence() allocation, which is what contends on GC at high core counts
+    rings = rings.withColumn(
+        "_edges",
+        F.transform(
+            F.sequence(F.lit(1), F.size("_rlat") - 1),
+            lambda i: F.struct(
+                F.element_at("_rlat", i).alias("alat"),
+                F.element_at("_rlon", i).alias("alon"),
+                F.element_at("_rlat", i + 1).alias("blat"),
+                F.element_at("_rlon", i + 1).alias("blon"),
+            ),
+        ),
+    ).drop("_rlat", "_rlon")
+    joined = candidates.join(F.broadcast(rings), "polygon_id")
+    plat, plon = F.col(lat), F.col(lon)
+
+    def on_seg(e):
+        return (
+            (plon >= F.least(e["alon"], e["blon"]))
+            & (plon <= F.greatest(e["alon"], e["blon"]))
+            & (plat >= F.least(e["alat"], e["blat"]))
+            & (plat <= F.greatest(e["alat"], e["blat"]))
+        )
+
+    def dwn(e):
+        cross = (e["blon"] - e["alon"]) * (plat - e["alat"]) - (
+            plon - e["alon"]
+        ) * (e["blat"] - e["alat"])
+        up = (e["alat"] <= plat) & (e["blat"] > plat) & (cross > 0)
+        dn = (e["alat"] > plat) & (e["blat"] <= plat) & (cross < 0)
+        return F.when(up, 1).when(dn, -1).otherwise(0)
+
+    on_edge = F.exists("_edges", on_seg)
+    wn = F.aggregate("_edges", F.lit(0), lambda acc, e: acc + dwn(e))
+    return joined.filter(on_edge | (wn != 0)).drop("_edges")
 
 
 def refine_pip(
@@ -194,15 +387,40 @@ def spatial_join(
     res: int = C.JOIN_RES,
     lat: str = "lat",
     lon: str = "lon",
-    refine: bool = True,
+    refine: bool | str = "expr",
     broadcast_cover: bool = True,
 ) -> DataFrame:
-    """Full PIP join: point columns + (polygon_id). Exact when refine=True."""
+    """Full PIP join: point columns + (polygon_id). Exact unless refine=False.
+
+    refine: "expr" (default — JVM codegen winding number), "arrow"
+    (broadcast-rings mapInPandas; for very large rings where the per-edge
+    fold is too wide), "grouped" (applyInPandas co-group; for polygon dims
+    too big to broadcast), or False (coarse cell join only).
+    """
     polygons = with_bbox(polygons)
-    cand = cell_join(points, polygons, res, lat, lon, broadcast_cover)
-    if not refine:
-        return cand
-    return refine_pip(cand, polygons, lat, lon)
+    if refine is False:
+        return cell_join(points, polygons, res, lat, lon, broadcast_cover)
+    if refine in (True, "arrow"):
+        cand = cell_join(points, polygons, res, lat, lon, broadcast_cover)
+        return refine_pip(cand, polygons, lat, lon)
+    if refine == "grouped":
+        cand = cell_join(points, polygons, res, lat, lon, broadcast_cover)
+        return refine_pip_grouped(cand, polygons, lat, lon)
+
+    # default "expr" path: FULL cells match with no per-row test (pure
+    # codegen), only boundary (PARTIAL) candidates evaluate the exact
+    # winding-number fold — refine cost ~ polygon perimeter, not area
+    cover = classified_cover(polygons, res)
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+    pts = points.withColumn("cell_id", C.latlng_to_cell(lat, lon, res))
+    cand = pts.join(cover, "cell_id", "inner")
+    out_cols = [c for c in cand.columns if c != "full"]
+    full_part = cand.filter(F.col("full")).select(out_cols)
+    partial = refine_pip_expr(
+        cand.filter(~F.col("full")).select(out_cols), polygons, lat, lon
+    )
+    return full_part.unionByName(partial)
 
 
 def first_match_per_level(
