@@ -49,18 +49,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h0..h{n-1}) — MinHash signature; hash_i(s) = md5(seed_i || s),
     minimum taken lexicographically over the hex digest (engine-portable)."""
-    sh = char_shingles(text, shingle_k)
-
-    def seeded_min(seed: str):
-        # NB: the inner lambda must take exactly ONE parameter — pyspark
-        # passes (element, index) to 2-arg lambdas.
-        def h(s):
-            return F.md5(F.concat(F.lit(seed), s))
-
-        return F.array_min(F.transform(sh, h))
-
-    cols = {f"h{i}": seeded_min(seed) for i, seed in enumerate(seeds)}
-    return docs.select(F.col(doc_id).alias("doc_id"), *[c.alias(n) for n, c in cols.items()])
+    # one explode pass + hash-aggregate min per seed: each shingle is md5'd
+    # once per seed inside whole-stage codegen, partial mins combine
+    # map-side (the 4x array_min(transform(...)) form re-walked the shingle
+    # array per seed with per-row array allocations)
+    exploded = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(char_shingles(text, shingle_k)).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed), F.col("s")))).alias(f"h{i}")
+        for i, seed in enumerate(seeds)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_sql(
@@ -114,24 +115,25 @@ def simhash(
     simhash bit b = 1 iff sign > 0. Expressed with aggregate over the token
     array per bit — JVM-side; bits folded into one long.
     """
-    toks = tokenize_simple(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_contrib(b: int):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(
-            1 << b if b < 63 else -(1 << 63)
-        ).cast("long")
-
-    sim = bit_contrib(0)
-    for b in range(1, bits):
-        sim = sim + bit_contrib(b)
-    return docs.select(F.col(doc_id).alias("doc_id"), sim.alias("simhash"))
+    # explode tokens once, hash once, then 64 sum() aggregates in a single
+    # hash-agg pass (map-side combined); bits recombine to one long.
+    # (The previous form folded the token array 64x with interpreted HOFs.)
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(tokenize_simple(text)).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        bitval = F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        sim = sim + F.when(F.col(f"v{b}") > 0, bitval).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -82,7 +82,7 @@ def _split(box, axis, n):
     return out
 
 
-def admin_polygons_py() -> list[dict]:
+def admin_polygons_py(box: tuple = COUNTRY) -> list[dict]:
     """All fixture polygons as plain dicts (id, name, admin_level, bbox, ring)."""
     polys = []
     pid = 0
@@ -101,8 +101,8 @@ def admin_polygons_py() -> list[dict]:
         )
         pid += 1
 
-    add("nusantara", 2, COUNTRY)
-    provs = _split(COUNTRY, "lon", 2)
+    add("nusantara", 2, box)
+    provs = _split(box, "lon", 2)
     for i, p in enumerate(provs):
         add(f"provinsi_{i}", 4, p)
         cities = _split(p, "lat", 2)
@@ -114,8 +114,8 @@ def admin_polygons_py() -> list[dict]:
     return polys
 
 
-def admin_polygons(spark: SparkSession) -> DataFrame:
-    rows = admin_polygons_py()
+def admin_polygons(spark: SparkSession, box: tuple = COUNTRY) -> DataFrame:
+    rows = admin_polygons_py(box)
     return spark.createDataFrame(
         rows,
         schema=(
