@@ -752,6 +752,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+# Q27b (rows-only): the north-rule spine over the ACTUAL input shape —
+# geotagged image+caption records -> cell-cover PIP join -> tile ids.
+# No oracle: image synthesis (PNG bytes, pHash-derived geotags) is not
+# reproducible in SQL; correctness of each stage is separately oracle- or
+# golden-checked (spatial_tile_join, test_images_table_invariants).
+def q_image_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.spatial_join import spatial_join as sj
+    from osm_search_spark.sources import images as img_src
+
+    imgs = img_src.images_table(spark, 400)
+    box = (img_src.LAT0, img_src.LON0, img_src.LAT1, img_src.LON1)
+    polys = synth.admin_polygons(spark, box)
+    joined = sj(imgs.select(F.col("image_id"), "lat", "lon", "caption", "phash"), polys)
+    return joined.select(
+        "image_id", "polygon_id", "caption", "phash",
+        C.latlng_to_cell("lat", "lon", C.TILE_RES).alias("tile_id"),
+    )
+
+
 # Q27 (rows-only): pHash near-dup pairs over the synthesized image table
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_search_spark.operators import image_ops
@@ -797,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "simhash": q_simhash,
         "phash_near_dup": q_phash_near_dup,
+        "image_tile_join": q_image_tile_join,
     }
 
 

@@ -26,6 +26,7 @@ HEADLINE = [
     "bm25_search",
     "minhash_signatures",
     "embedding_topk",
+    "image_tile_join",
 ]
 
 

@@ -159,6 +159,11 @@ def knn_join(
         out = out.unionByName(p)
     if offset:
         out = out.filter(F.col("rank") > offset)
+    # materialize before releasing the cached inputs the plan depends on
+    out = out.persist()
+    out.count()
+    obj.unpersist()
+    pend.unpersist()
     return out
 
 
