@@ -435,15 +435,28 @@ def first_match_per_level(
     (indexer.go:1135-1139). Deterministic — the reference's order was
     insertion order; ours is polygon_id order."""
     j = matched.join(
-        F.broadcast(polygons_dim.select("polygon_id", "name", "admin_level")),
+        F.broadcast(polygons_dim.select("polygon_id", "admin_level")),
         "polygon_id",
     )
+    # first/last-match is an argmin, not a ranking: a groupBy min gets
+    # map-side partial aggregation (a row_number window would sort-shuffle
+    # every candidate row)
     order = F.when(
         F.col("admin_level").isin(*last_match_levels), -F.col("polygon_id")
     ).otherwise(F.col("polygon_id"))
-    w = Window.partitionBy(point_id, "admin_level").orderBy(order)
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    carry = [c for c in matched.columns if c not in (point_id, "polygon_id")]
+    best = (
+        j.groupBy(point_id, "admin_level")
+        .agg(
+            F.min(F.struct(order.alias("ord"), F.col("polygon_id"), *carry)).alias("b")
+        )
+        .select(
+            point_id,
+            "admin_level",
+            F.col("b.polygon_id").alias("polygon_id"),
+            *[F.col(f"b.{c}").alias(c) for c in carry],
+        )
+    )
+    return best.join(
+        F.broadcast(polygons_dim.select("polygon_id", "name")), "polygon_id"
     )
