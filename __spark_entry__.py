@@ -780,6 +780,132 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ops.phash_near_dup_pairs(imgs, max_hamming=16)
 
 
+
+
+# Q28: the WHOLE indexing program end-to-end — build_places over synth OSM
+# (way assembly + median centroid + dedup + deterministic ids + nearest-
+# street 1-NN + multi-level PIP address enrichment) vs a DuckDB
+# re-derivation. Tag->field projections are pinned by pytest goldens; the
+# oracle starts from projected docs and verifies everything downstream.
+def q_places_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.plans import build_pipeline as bp
+    from osm_search_spark.sources import osm as osm_src
+
+    nodes, ways, rels = osm_src.synth_osm(spark)
+    polys = osm_src.assemble_relation_polygons(rels, ways, nodes)
+    streets = (
+        bp.way_docs(ways, nodes)
+        .filter(F.col("type") == "residential")
+        .select(F.col("src_id").alias("id"), "name", "lat", "lon")
+    )
+    return bp.build_places(ways, nodes, streets=streets, admin_polygons=polys).select(
+        "id", "name", "lat", "lon", "address", "type"
+    )
+
+
+def sql_places_build() -> str:
+    from osm_search_spark.plans import build_pipeline as bp  # noqa: F401
+    from osm_search_spark.sources import osm as osm_src
+    from osm_search_spark.sources.synth import dlit
+
+    nodes, ways, rels = osm_src.synth_osm_py()
+    node_map = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
+
+    # projected docs (projection logic pinned by pytest goldens)
+    doc_rows = []
+    for w in ways:
+        t = w["tags"]
+        if not any(k in t for k in osm_src.VALID_SEARCH_TAGS) or "name" not in t:
+            continue
+        lats = sorted(node_map[i][0] for i in w["node_ids"])
+        lons = sorted(node_map[i][1] for i in w["node_ids"])
+        tipe = next((t[k] for k in osm_src.TYPE_PRECEDENCE if k in t), "")
+        doc_rows.append(
+            (0, w["id"], t["name"], lats[len(lats) // 2], lons[len(lons) // 2],
+             t.get("addr:street", ""), tipe,
+             min(lats), min(lons), max(lats), max(lons))
+        )
+    for n in nodes:
+        t = n["tags"]
+        if not any(k in t for k in ("historic", "name")) or "name" not in t:
+            continue
+        tipe = next((t[k] for k in osm_src.TYPE_PRECEDENCE if k in t), "")
+        doc_rows.append(
+            (1, n["id"], t["name"], n["lat"], n["lon"],
+             t.get("addr:street", ""), tipe,
+             n["lat"], n["lon"], n["lat"], n["lon"])
+        )
+    docs_vals = ",\n".join(
+        f"({k}, {sid}, '{nm}', {dlit(la)}, {dlit(lo)}, '{st}', '{tp}', "
+        f"{dlit(mnla)}, {dlit(mnlo)}, {dlit(mxla)}, {dlit(mxlo)})"
+        for k, sid, nm, la, lo, st, tp, mnla, mnlo, mxla, mxlo in doc_rows
+    )
+    polys_sql = synth.admin_polygons_sql()
+    hav = haversine_km_sql("d.lat", "d.lon", "s.lat", "s.lon")
+    return f"""
+with docs as (
+  select * from (values\n{docs_vals}\n) d(kind, src_id, name, lat, lon,
+    street, type, minlat, minlon, maxlat, maxlon)
+),
+dedup as (
+  select d.* from docs d
+  where not exists (
+    select 1 from docs e
+    where lower(e.name) = lower(d.name)
+      and (e.kind < d.kind or (e.kind = d.kind and e.src_id < d.src_id))
+      and ((d.minlat >= e.minlat and d.maxlat <= e.maxlat
+            and d.minlon >= e.minlon and d.maxlon <= e.maxlon)
+        or (e.minlat >= d.minlat and e.maxlat <= d.maxlat
+            and e.minlon >= d.minlon and e.maxlon <= d.maxlon))
+  )
+),
+ids as (
+  select cast(row_number() over (order by kind, src_id) - 1 as bigint) as id, *
+  from dedup
+),
+streets as (
+  select src_id as sid, name as sname, lat, lon from docs
+  where kind = 0 and type = 'residential'
+),
+nn as (
+  select id, sname from (
+    select d.id, s.sname,
+           row_number() over (partition by d.id order by {hav}, s.sid) as rn
+    from ids d cross join streets s
+    where d.street = ''
+  ) where rn = 1
+),
+with_street as (
+  select i.*, case when i.street = '' then coalesce(nn.sname, '')
+                   else i.street end as street2
+  from ids i left join nn using (id)
+),
+polys as ({polys_sql}),
+admin_matched as (
+  select i.id, p.name, p.admin_level,
+         row_number() over (
+           partition by i.id, p.admin_level
+           order by case when p.admin_level = 4
+                         then -p.polygon_id else p.polygon_id end
+         ) as rn
+  from ids i join polys p
+    on i.lat >= p.minlat and i.lat <= p.maxlat
+   and i.lon >= p.minlon and i.lon <= p.maxlon
+),
+admin as (
+  select id, string_agg(name, ', ' order by admin_level desc) as suffix
+  from admin_matched where rn = 1 group by id
+)
+select w.id, w.name, w.lat, w.lon,
+       case when a.suffix is not null and w.street2 <> ''
+            then w.street2 || ', ' || a.suffix
+            when a.suffix is not null then a.suffix
+            else w.street2 end as address,
+       w.type
+from with_street w left join admin a using (id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -817,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "phash_near_dup": q_phash_near_dup,
         "image_tile_join": q_image_tile_join,
+        "places_build": q_places_build,
     }
 
 
@@ -849,6 +976,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_radius_feature": sql_knn_radius_feature(),
         "events_sessionize": sql_sessionize(),
         "lang_id": sql_lang_id(),
-        # simhash / phash_near_dup: intentionally no oracle (xxhash64 and
-        # image decode are not expressible in DuckDB) -> rows-only check
+        "places_build": sql_places_build(),
+        # simhash / phash_near_dup / image_tile_join: intentionally no
+        # oracle (xxhash64 / image synthesis not expressible in DuckDB)
+        # -> rows-only checks; every stage is separately oracle-checked
     }
