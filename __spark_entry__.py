@@ -906,6 +906,52 @@ from with_street w left join admin a using (id)
 """
 
 
+# Q29: BULK reverse geocode — every 29th order key becomes a probe (shifted
+# derivation so probes are not objects); exact 1-NN over all derived points
+# via the iterative ring algorithm, vs brute-force oracle.
+PROBE_LAT = "(-7.95 + (cast((o_orderkey * 52361) % 999979 as double) / 999979.0) * 0.55)"
+PROBE_LON = "(110.20 + (cast((o_orderkey * 31727) % 1000003 as double) / 1000003.0) * 0.75)"
+
+
+def q_bulk_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probes = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 29 == 0)
+        .select(
+            F.col("o_orderkey").alias("probe_id"),
+            F.expr(PROBE_LAT).alias("plat"),
+            F.expr(PROBE_LON).alias("plon"),
+        )
+    )
+    objects = synth.derive_points(spark, sf_dir)
+    res = knn_join(
+        probes, objects, k=1, res=C.TILE_RES,
+        obj_id="point_id", olat="lat", olon="lon",
+    )
+    return res.select(
+        "probe_id",
+        F.col("point_id").alias("obj_id"),
+        F.round("dist_km", 6).alias("dist_km"),
+    )
+
+
+def sql_bulk_reverse_geocode() -> str:
+    hav = haversine_km_sql("pr.plat", "pr.plon", "p.lat", "p.lon")
+    return f"""
+with points as ({synth.points_sql()}),
+probes as (
+  select o_orderkey as probe_id, {PROBE_LAT} as plat, {PROBE_LON} as plon
+  from orders where o_orderkey % 29 = 0
+)
+select probe_id, obj_id, dist_km from (
+  select pr.probe_id, p.point_id as obj_id, round({hav}, 6) as dist_km,
+         row_number() over (partition by pr.probe_id
+                            order by {hav}, p.point_id) as rn
+  from probes pr cross join points p
+) where rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -944,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "image_tile_join": q_image_tile_join,
         "places_build": q_places_build,
+        "bulk_reverse_geocode": q_bulk_reverse_geocode,
     }
 
 
@@ -977,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": sql_sessionize(),
         "lang_id": sql_lang_id(),
         "places_build": sql_places_build(),
+        "bulk_reverse_geocode": sql_bulk_reverse_geocode(),
         # simhash / phash_near_dup / image_tile_join: intentionally no
         # oracle (xxhash64 / image synthesis not expressible in DuckDB)
         # -> rows-only checks; every stage is separately oracle-checked

@@ -27,6 +27,7 @@ HEADLINE = [
     "minhash_signatures",
     "embedding_topk",
     "image_tile_join",
+    "bulk_reverse_geocode",
 ]
 
 
