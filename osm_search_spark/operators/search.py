@@ -239,3 +239,53 @@ def tfidf_scores(
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
+
+
+# --- batch search: many queries as ONE join plan -----------------------------
+
+def batch_bm25_search(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    k: int = 15,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score MANY queries in one plan: queries_df(query_id, terms array) is
+    exploded and joined against the postings once; scoring and top-k rank
+    happen per query via one window. This is the engine's answer to the
+    reference's per-request loop (FreeFormQuery) — per-query latency trades
+    for batch throughput (queries/sec at scale)."""
+    toks = doc_tokens(docs, doc_id, text).persist()
+    postings = build_postings(toks)
+    stats = doc_stats(toks)
+    corpus = stats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = corpus["n"], float(corpus["avgdl"])
+
+    df_t = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    qterms = queries_df.select(
+        "query_id", F.explode("terms").alias("term")
+    )
+    scored = (
+        qterms.join(postings, "term")
+        .join(F.broadcast(df_t), "term")
+        .join(stats, "doc_id")
+        .withColumn(
+            "idf",
+            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

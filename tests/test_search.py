@@ -87,3 +87,24 @@ def test_prefix_match(spark):
     td = search.term_dict(toks)
     got = {r["term"] for r in td.filter(F.col("term").startswith("ja")).collect()}
     assert got == {"jalan"}
+
+
+def test_batch_bm25_matches_single(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "c d"), (4, "b d a")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, ["c"])], "query_id long, terms array<string>"
+    )
+    batch = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 10)
+        for r in search.batch_bm25_search(docs, queries, k=10).collect()
+    }
+    for qid, terms in [(0, ["a", "b"]), (1, ["c"])]:
+        single = {
+            r["doc_id"]: round(r["score"], 10)
+            for r in search.bm25_scores(docs, terms).collect()
+        }
+        got = {d: s for (q, d), s in batch.items() if q == qid}
+        assert got == single
