@@ -952,6 +952,31 @@ select probe_id, obj_id, dist_km from (
 """
 
 
+# Q30: embedding-cosine near-duplicate pairs (exact mode for the oracle;
+# the scale path restricts candidates to LSH bucket collisions)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+
+
+def sql_embedding_near_dup() -> str:
+    dot = "list_sum([va[i] * vb[i] for i in generate_series(1, len(va))])"
+    na = "sqrt(list_sum([va[i] * va[i] for i in generate_series(1, len(va))]))"
+    nb = "sqrt(list_sum([vb[i] * vb[i] for i in generate_series(1, len(vb))]))"
+    return f"""
+with emb as (
+  select vec_id, cast(embedding as double[]) as vec from embeddings
+),
+pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b, a.vec as va, b.vec as vb
+  from emb a cross join emb b where a.vec_id < b.vec_id
+)
+select id_a, id_b, round(cosv, 5) as cos from (
+  select id_a, id_b, {dot} / ({na} * {nb}) as cosv from pairs
+) where cosv >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -991,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_join": q_image_tile_join,
         "places_build": q_places_build,
         "bulk_reverse_geocode": q_bulk_reverse_geocode,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -1025,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": sql_lang_id(),
         "places_build": sql_places_build(),
         "bulk_reverse_geocode": sql_bulk_reverse_geocode(),
+        "embedding_near_dup": sql_embedding_near_dup(),
         # simhash / phash_near_dup / image_tile_join: intentionally no
         # oracle (xxhash64 / image synthesis not expressible in DuckDB)
         # -> rows-only checks; every stage is separately oracle-checked

@@ -108,3 +108,33 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     # every returned neighbor must share the probe's bucket => cos sane
     for r in rows:
         assert -1.0001 <= r["cos"] <= 1.0001
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    vecs = list(base) + [base[0] + rng.standard_normal(8).astype(np.float32) * 0.01]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = similarity.embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 20)}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    exact = similarity.brute_force_topk(probes, corpus, k=10)
+    approx = similarity.ivf_topk(probes, corpus, k=10, n_centroids=8, n_probe=4)
+    ex = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
