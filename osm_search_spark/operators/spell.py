@@ -96,6 +96,38 @@ def correct_query(
     return ngram_lm.best_query(spark, cands, counts, top=top)
 
 
+class BM25FIndex:
+    """Prebuilt per-field postings + stats — the 'loaded index' of the
+    reference (Searcher.LoadMainIndex, searcher.go:84-133). Build once,
+    query many; freeform_search/autocomplete accept it to avoid
+    re-tokenizing the corpus per query."""
+
+    def __init__(
+        self,
+        places: DataFrame,
+        doc_id: str = "id",
+        name_col: str = "name",
+        address_col: str = "address",
+    ):
+        self.n_docs = places.count()
+        self.fields: dict[str, tuple[DataFrame, DataFrame, float]] = {}
+        for field, col in (("name", name_col), ("address", address_col)):
+            toks = search.doc_tokens(places, doc_id, col)
+            postings = search.build_postings(toks).persist()
+            stats = search.doc_stats(toks).persist()
+            avgdl = stats.agg(F.avg("dl")).collect()[0][0] or 1.0
+            self.fields[field] = (postings, stats, float(avgdl))
+
+    def field_frame(self, field: str, query_terms: list[str]) -> DataFrame:
+        postings, stats, avgdl = self.fields[field]
+        return (
+            postings.filter(F.col("term").isin(query_terms))
+            .join(stats, "doc_id")
+            .withColumn("field", F.lit(field))
+            .withColumn("avgdl", F.lit(avgdl))
+        )
+
+
 def bm25f_scores(
     places: DataFrame,
     query_terms: list[str],
@@ -107,25 +139,15 @@ def bm25f_scores(
     name_b: float = NAME_B,
     addr_w: float = ADDRESS_WEIGHT,
     addr_b: float = NAME_B,  # faithful: reference uses NAME_B for both
+    index: BM25FIndex | None = None,
 ) -> DataFrame:
     """(doc_id, score) — field-weighted BM25F over name + address."""
-    name_toks = search.doc_tokens(places, doc_id, name_col).persist()
-    addr_toks = search.doc_tokens(places, doc_id, address_col).persist()
-    n_docs = places.count()
-
-    def field_frame(toks, field):
-        postings = search.build_postings(toks).filter(
-            F.col("term").isin(query_terms)
-        )
-        stats = search.doc_stats(toks)
-        avgdl = stats.agg(F.avg("dl")).collect()[0][0] or 1.0
-        return (
-            postings.join(stats, "doc_id")
-            .withColumn("field", F.lit(field))
-            .withColumn("avgdl", F.lit(float(avgdl)))
-        )
-
-    tf = field_frame(name_toks, "name").unionByName(field_frame(addr_toks, "address"))
+    if index is None:
+        index = BM25FIndex(places, doc_id, name_col, address_col)
+    n_docs = index.n_docs
+    tf = index.field_frame("name", query_terms).unionByName(
+        index.field_frame("address", query_terms)
+    )
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log10(F.lit(float(n_docs)) - F.col("df") + 0.5) - F.log10(F.col("df") + 0.5)
     w = F.when(
@@ -150,11 +172,12 @@ def freeform_search(
     query: str,
     k: int = 10,
     offset: int = 0,
+    index: "BM25FIndex | None" = None,
 ) -> DataFrame:
     """FreeFormQuery (searcher.go:150-246): spell-correct -> BM25F ->
     stable top-k page -> fetch docs (broadcast join against places)."""
     corrected = correct_query(spark, query, term_dict, counts, top=1)[0]
-    scores = bm25f_scores(places, corrected)
+    scores = bm25f_scores(places, corrected, index=index)
     w = Window.orderBy(F.desc("score"), F.col("doc_id"))
     top = (
         scores.withColumn("rank", F.row_number().over(w))
@@ -174,16 +197,19 @@ def autocomplete(
     counts: DataFrame,
     query: str,
     k: int = 10,
+    index: "BM25FIndex | None" = None,
 ) -> DataFrame:
     """Autocomplete (searcher.go:402-491): prefix-expand last token, top-3
     LM interpretations, AND-intersection semantics per interpretation
     (scoreBM25FAutocomplete :493-532), BM25F rank, merge."""
+    if index is None:
+        index = BM25FIndex(places)
     interps = correct_query(
         spark, query, term_dict, counts, top=3, prefix_last=True
     )
     results = None
     for qi, terms in enumerate(interps):
-        scores = bm25f_scores(places, terms)
+        scores = bm25f_scores(places, terms, index=index)
         # AND semantics: doc must contain every query term in name+address
         toks = search.doc_tokens(
             places.select(
