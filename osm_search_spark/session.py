@@ -37,7 +37,10 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing measured 2.6x SLOWER on shuffle-heavy stages in this
+        # single-JVM sandbox (BENCH/BASELINE.md); skew splitting stays on.
+        # On a real cluster revisit: coalescing trims tiny-task overhead.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

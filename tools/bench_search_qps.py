@@ -32,7 +32,7 @@ def main():
     vocab = [
         r["term"]
         for r in search.build_postings(search.doc_tokens(docs))
-        .groupBy("term").count().orderBy(F.desc("count")).limit(60).collect()
+        .groupBy("term").count().orderBy(F.desc("count"), "term").limit(60).collect()
     ]
     # deterministic 3-term queries from the corpus vocabulary
     queries = spark.range(n_q).select(
