@@ -45,12 +45,14 @@ def decode_stats(images: DataFrame, with_oracle_psnr: bool = True) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for img_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
                 try:
-                    px = I.decode(bytes(r["bytes"]), r["fmt"])
+                    px = I.decode(bytes(data), fmt)
                     ok, mean = True, float(px.mean())
-                    if with_oracle_psnr and r["image_id"].startswith("img_"):
-                        i = int(r["image_id"].split("_")[1])
+                    if with_oracle_psnr and img_id.startswith("img_"):
+                        i = int(img_id.split("_")[1])
                         p = I.psnr(expected_pixels(i), px)
                         p = 999.0 if p == float("inf") else p
                     else:
@@ -59,8 +61,8 @@ def decode_stats(images: DataFrame, with_oracle_psnr: bool = True) -> DataFrame:
                     ok, mean, p = False, float("nan"), float("nan")
                 out.append(
                     dict(
-                        image_id=r["image_id"], w=int(r["w"]), h=int(r["h"]),
-                        fmt=r["fmt"], mean_px=mean, decode_ok=ok, psnr_db=p,
+                        image_id=img_id, w=int(w), h=int(h),
+                        fmt=fmt, mean_px=mean, decode_ok=ok, psnr_db=p,
                     )
                 )
             yield pd.DataFrame(out)
@@ -78,13 +80,15 @@ def verify_phash(images: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                ph = I.phash64(I.decode(bytes(r["bytes"]), r["fmt"]))
+            for img_id, data, fmt, ph0 in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["phash"]
+            ):
+                ph = I.phash64(I.decode(bytes(data), fmt))
                 out.append(
                     dict(
-                        image_id=r["image_id"], phash=int(r["phash"]),
+                        image_id=img_id, phash=int(ph0),
                         phash_recomputed=ph,
-                        hamming=I.hamming64(int(r["phash"]), ph),
+                        hamming=I.hamming64(int(ph0), ph),
                     )
                 )
             yield pd.DataFrame(out)
@@ -136,15 +140,15 @@ def resize_thumbnail(images: DataFrame, out_size: int = 16) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                px = I.decode(bytes(r["bytes"]), r["fmt"])
+            for img_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = I.decode(bytes(data), fmt)
                 g = I._resize_area_gray(px, out_size)
                 rgb = np.repeat(
                     g.clip(0, 255).astype(np.uint8)[..., None], 3, axis=2
                 )
                 out.append(
                     dict(
-                        image_id=r["image_id"], thumb=I.png_encode(rgb),
+                        image_id=img_id, thumb=I.png_encode(rgb),
                         w=out_size, h=out_size,
                     )
                 )

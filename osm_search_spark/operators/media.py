@@ -77,11 +77,11 @@ def audio_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                x = decode_audio(bytes(r["bytes"]), r["fmt"])
+            for mid, data, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
+                x = decode_audio(bytes(data), fmt)
                 out.append(
                     dict(
-                        media_id=r["media_id"],
+                        media_id=mid,
                         rms=float(np.sqrt(np.mean(x * x))),
                         zero_crossings=int(np.sum(np.abs(np.diff(np.signbit(x))))),
                     )
