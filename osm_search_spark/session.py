@@ -28,7 +28,10 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
-        shuffle_partitions = max(4, 2 * cpus)
+        # floor of 32: with few cores, 2x-cores partitions make huge
+        # per-partition sorts that spill (measured superlinear slowdowns);
+        # finer partitions keep each sort in memory and cost little
+        shuffle_partitions = max(32, 2 * cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)

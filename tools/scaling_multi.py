@@ -34,7 +34,7 @@ if %(kind)r == "text":
     n_docs = docs.count()
     vocab = [r["term"] for r in search.build_postings(search.doc_tokens(docs))
              .groupBy("term").count().orderBy(F.desc("count"), "term").limit(40).collect()]
-    queries = spark.range(3000).select(
+    queries = spark.range(8000).select(
         F.col("id").alias("query_id"),
         F.array(*[F.element_at(F.array(*[F.lit(v) for v in vocab]),
                  (F.pmod(F.col("id") * m + 7, F.lit(len(vocab))) + 1).cast("int"))
