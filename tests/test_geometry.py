@@ -110,3 +110,31 @@ def test_circle_contains():
         assert float(G.haversine_km_np(la, lo, c[0], c[1])) <= c[2]
     for la, lo in outs:
         assert float(G.haversine_km_np(la, lo, c[0], c[1])) > c[2]
+
+
+def test_midpoint_column(spark):
+    # midpoint of two points on the same meridian is the average latitude
+    df = spark.createDataFrame([(10.0, 20.0, 30.0, 20.0)], "a double, b double, c double, d double")
+    from osm_search_spark.functions.geodesy import midpoint
+
+    m = df.select(midpoint("a", "b", "c", "d").alias("m")).collect()[0]["m"]
+    assert abs(m["lat"] - 20.0) < 1e-9
+    assert abs(m["lon"] - 20.0) < 1e-9
+    # midpoint is equidistant from both endpoints
+    d1 = G.haversine_km_np(10.0, 20.0, m["lat"], m["lon"])
+    d2 = G.haversine_km_np(30.0, 20.0, m["lat"], m["lon"])
+    assert abs(float(d1) - float(d2)) < 1e-6
+
+
+def test_destination_point_roundtrip(spark):
+    from osm_search_spark.functions.geodesy import destination_point
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(-7.55, 110.78)], "lat double, lon double")
+    d = df.select(
+        destination_point("lat", "lon", F.lit(90.0), F.lit(10.0)).alias("p")
+    ).collect()[0]["p"]
+    # travelling 10 km must land exactly 10 km away (great-circle)
+    back = float(G.haversine_km_np(-7.55, 110.78, d["lat"], d["lon"]))
+    assert abs(back - 10.0) < 1e-6
+    assert d["lon"] > 110.78  # bearing 90 deg = east
