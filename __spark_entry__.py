@@ -173,6 +173,40 @@ def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q5b: kNN with probes FAR from every object (~400-550 km) — exercises the
+# incremental annulus expansion through many doubling rounds with the
+# domain-extent ring cap; per-round fan-out stays O(1) coarse cells.
+def q_knn_far_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probes = synth.probes_far_df(spark)
+    objects = synth.derive_points(spark, sf_dir)
+    res = knn_join(
+        probes, objects, k=3, res=C.TILE_RES,
+        obj_id="point_id", olat="lat", olon="lon",
+    )
+    return res.select(
+        "probe_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("point_id").alias("obj_id"),
+        F.round("dist_km", 6).alias("dist_km"),
+    )
+
+
+def sql_knn_far_probes() -> str:
+    hav = haversine_km_sql("pr.plat", "pr.plon", "p.lat", "p.lon")
+    return f"""
+with points as ({synth.points_sql()}),
+probes as ({synth.probes_far_sql()})
+select probe_id, rank, obj_id, dist_km from (
+  select pr.probe_id,
+         row_number() over (partition by pr.probe_id
+                            order by {hav}, p.point_id) as rank,
+         p.point_id as obj_id,
+         round({hav}, 6) as dist_km
+  from probes pr cross join points p
+) ranked where rank <= 3
+"""
+
+
 # Q6: haversine distance of every point to probe 0
 def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     la, lo = synth.ORACLE_PROBES[0][1], synth.ORACLE_PROBES[0][2]
@@ -990,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "admin_first_match": q_admin_first_match,
         "knn_k5": q_knn_k5,
+        "knn_far_probes": q_knn_far_probes,
         "reverse_geocode": q_reverse_geocode,
         "haversine": q_haversine,
         "bm25_search": q_bm25,
@@ -1028,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": sql_tile_assign(),
         "admin_first_match": sql_admin_first_match(),
         "knn_k5": sql_knn(5),
+        "knn_far_probes": sql_knn_far_probes(),
         "reverse_geocode": sql_knn(1),
         "haversine": sql_haversine(),
         "bm25_search": sql_bm25(),

@@ -120,6 +120,55 @@ def k_ring(cell: Column | str, k: int, res: int) -> Column:
     return F.array_distinct(F.transform(pairs, mk))
 
 
+def annulus_cells(
+    ix: Column, iy: Column, r_outer: int, r_inner: int, e: int, res: int
+) -> Column:
+    """Array of COARSE cell ids (resolution ``res - e``) covering the square
+    annulus { |dx| <= r_outer or |dy| <= r_outer } \\ interior of the square
+    of radius ``r_inner`` — all radii in BASE-res cell units around (ix, iy).
+
+    This is the incremental k-ring: round N explores only the ring between
+    the previous covered radius and the new one, and does so at a coarser
+    resolution (``e`` = log2 scale factor) so the per-round cell count stays
+    ~constant as the radius doubles (the fix for the full-disk re-explode —
+    see VERDICT r01 item 1; contract matches rtree.go:675-713's incremental
+    neighbor expansion). Pure Column arithmetic, no Python per row.
+
+    r_inner < 0 means "nothing covered yet" (full square, no exclusion).
+    A coarse cell straddling the inner boundary is re-emitted; callers
+    dedup candidates on (probe, object). Longitude wraps; latitude clamps.
+    """
+    rc = res - e
+    nx_c = F.lit(2 << rc).cast("long")
+    ny_c = 1 << rc
+    base = F.lit(rc * RES_BITS_SHIFT)
+    # arithmetic shift right == floor division by 2**e (works for negatives)
+    cx0 = F.shiftright((ix - r_outer).cast("long"), e)
+    cx1 = F.shiftright((ix + r_outer).cast("long"), e)
+    cy0 = F.shiftright((iy - r_outer).cast("long"), e)
+    cy1 = F.shiftright((iy + r_outer).cast("long"), e)
+
+    def interior(c, p):  # coarse cell fully inside the old covered square?
+        lo = F.shiftleft(c, e)
+        hi = F.shiftleft(c + 1, e) - 1
+        return (lo >= p - r_inner) & (hi <= p + r_inner)
+
+    def mk_row(cx):
+        in_x = interior(cx, ix) if r_inner >= 0 else F.lit(False)
+
+        def mk_cell(cy):
+            in_y = interior(cy, iy) if r_inner >= 0 else F.lit(False)
+            wcx = F.pmod(cx, nx_c)
+            wcy = F.least(F.greatest(cy, F.lit(0).cast("long")), F.lit(ny_c - 1).cast("long"))
+            cell = base + wcx * F.lit(IX_SHIFT) + wcy
+            return F.when(in_x & in_y, F.lit(None).cast("long")).otherwise(cell)
+
+        return F.transform(F.sequence(cy0, cy1), mk_cell)
+
+    cells = F.flatten(F.transform(F.sequence(cx0, cx1), mk_row))
+    return F.array_distinct(F.filter(cells, lambda c: c.isNotNull()))
+
+
 def cell_center(cell: Column | str) -> Column:
     """struct(lat, lon) of the cell center."""
     r = cell_res(cell).cast("double")

@@ -1,32 +1,47 @@
-"""k-nearest-neighbor join via iterative k-ring expansion.
+"""k-nearest-neighbor join via incremental annulus expansion.
 
 Replaces the reference's best-first R-tree traversal
 (incrementalNearestNeighbor, pkg/datastructure/rtree.go:675-713; radius +
 feature filter variant rtree.go:648-672) with the grid analog:
 
-- objects are indexed once as (cell_id, …) at resolution ``res``;
-- probes explode the k-ring of their cell at growing Chebyshev radius
-  r ∈ {r0, 2·r0, 4·r0, …} and hash-join the object cells;
-- after each round, a probe is **finalized** when its k-th nearest candidate
-  is closer than the *guaranteed minimum distance* to any unexplored cell —
-  the same "approximate rank, exact check" contract as the reference's PQ
-  (minDist ordering rtree.go:541-566 with exact re-insertion :686-697);
-- final ranking is exact Haversine with `row_number` per probe
-  (the distance-bounded window re-rank).
+- objects are indexed once as (ix, iy) at base resolution ``res``;
+- each round explores only the ANNULUS between the previous covered
+  Chebyshev radius and a 4x larger one — never the full disk — and does so
+  at a coarser parent resolution as the radius grows, so the per-round
+  fan-out stays ~constant (< ~150 cells/probe) no matter how sparse the
+  neighborhood (round N covers radius 4^N with O(1) coarse cells, so even a probe
+  hundreds of km from any object terminates in < 10 rounds);
+- per-probe top-k candidates accumulate across rounds (bounded carry:
+  k+offset rows per pending probe);
+- a probe is **finalized** when its k-th nearest candidate is closer than
+  the *guaranteed minimum distance* to any unexplored cell — the same
+  "approximate rank, exact check" contract as the reference's PQ (minDist
+  ordering rtree.go:541-566 with exact re-insertion :686-697);
+- final ranking is exact Haversine with `row_number` per probe.
 
-Ring bound: all cells within Chebyshev distance r of the probe's cell are
-explored, so any unexplored object is ≥ r cells away along lat or lon. The
-lon direction is tighter (cells narrow by cos(lat)), hence
+Distance bound after covering Chebyshev radius R (base cells, size deg):
+an unexplored object either differs by > R rows (pure-latitude escape,
+distance >= R*size*KM) or by > R columns (longitude escape; if it also sits
+within +-R rows its latitude is within |plat| + (R+1)*size, so distance
+>= R*size*KM*cos(that band)). Hence
 
-    bound_km(r) = r * cell_size_deg * 111.19492664455873 * cos_min * SAFETY
+    bound_km(R) = R * size * KM * max(cos(min(90deg, |plat|+(R+1)*size)), 0)
+                  * SAFETY
 
-with cos_min = cos of the largest |lat| in the explored band and
-SAFETY=0.995 absorbing sphere-vs-plane curvature (negligible at km cells).
+computed PER PROBE (the cos shrink is probe-latitude-dependent — a scalar
+check would finalize too early away from the equator). A band reaching the
+pole gives bound 0: longitude escape can be arbitrarily short there, so
+only the domain cap finalizes such probes.
 
-Scale posture: the expensive side (objects) is shuffled once on cell_id and
-can be a pre-bucketed table; each round only re-joins the *unfinished*
-probes, so dense areas finish in round 1 and only sparse-area probes
-escalate.
+Ring cap: probes stop expanding once the covered square contains the whole
+object domain (one min/max aggregate over object cell coords) — a probe far
+from all objects terminates in O(log(domain)) rounds instead of exploding
+a (2r+1)^2 disk per round.
+
+Scale posture: objects shuffle once onto the persisted index; each round
+joins only *unfinished* probes against ~10^2 coarse cells each, so dense
+areas finish in round 1 and only sparse-area probes escalate, at constant
+per-round cost.
 """
 
 from __future__ import annotations
@@ -43,6 +58,14 @@ KM_PER_DEG = 111.19492664455873  # 2*pi*6371/360, R=6371 per distance.go:6
 SAFETY = 0.995
 
 
+def _coarse_scale(r_outer: int) -> int:
+    """log2 scale factor keeping the coarse square side ~<= 10 cells."""
+    e = 0
+    while (2 * r_outer) >> e > 8:
+        e += 1
+    return e
+
+
 def knn_join(
     probes: DataFrame,
     objects: DataFrame,
@@ -56,13 +79,13 @@ def knn_join(
     obj_id: str = "obj_id",
     olat: str = "olat",
     olon: str = "olon",
-    max_rounds: int = 12,
+    max_rounds: int = 26,
     initial_ring: int = 1,
     offset: int = 0,
 ) -> DataFrame:
     """Exact k-NN of each probe against objects.
 
-    Returns (probe_id, rank, obj_id, olat, olon, dist_km), rank ∈
+    Returns (probe_id, rank, obj_id, olat, olon, dist_km), rank in
     [offset+1, offset+k], ties broken by obj_id (deterministic — the
     reference's PQ order for exact ties was heap-order-dependent).
 
@@ -70,89 +93,156 @@ def knn_join(
     (e.g. "tags[1] = 1") — the tag filter of rtree.go:652-659 fused into the
     join.
     """
-    spark = probes.sparkSession
     size = C.cell_size_deg(res)
     want = k + offset
 
     obj = objects
     if feature is not None:
         obj = obj.filter(F.expr(feature))
-    obj = obj.withColumn("ocell", C.latlng_to_cell(olat, olon, res)).select(
-        "ocell", obj_id, olat, olon, *[c for c in ([] if feature is None else [])]
-    )
-    obj = obj.persist()
-
-    pend = probes.select(
-        probe_id, plat, plon, C.latlng_to_cell(plat, plon, res).alias("pcell")
+    obj = obj.select(
+        C.cell_ix(C.latlng_to_cell(olat, olon, res)).alias("oix"),
+        C.cell_iy(C.latlng_to_cell(olat, olon, res)).alias("oiy"),
+        obj_id, olat, olon,
     ).persist()
 
-    # max useful ring: covers the whole object domain (or the radius cap)
+    # object domain extent -> per-probe ring cap (ADVICE r01: without this a
+    # probe far from every object doubles the ring forever)
+    ext = obj.agg(
+        F.min("oix").alias("x0"), F.max("oix").alias("x1"),
+        F.min("oiy").alias("y0"), F.max("oiy").alias("y1"),
+    )
+    # Joined as a broadcast 1-row frame (NOT collected) so the extent agg
+    # and the obj persist materialize inside the pend-checkpoint job instead
+    # of a separate full pass. coalesce(-1): zero objects -> every probe is
+    # domain-exhausted in round 0 -> empty result, no hang.
+    r_needed = F.coalesce(
+        F.greatest(
+            F.col("pix") - F.col("x0"),
+            F.col("x1") - F.col("pix"),
+            F.col("piy") - F.col("y0"),
+            F.col("y1") - F.col("piy"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(-1).cast("long"),
+    )
+    pend = (
+        probes.select(
+            probe_id, plat, plon,
+            C.cell_ix(C.latlng_to_cell(plat, plon, res)).alias("pix"),
+            C.cell_iy(C.latlng_to_cell(plat, plon, res)).alias("piy"),
+        )
+        .crossJoin(F.broadcast(ext))
+        .withColumn("r_needed", r_needed)
+        .drop("x0", "x1", "y0", "y1")
+    )
+
+    # guaranteed min distance to any unexplored cell after covering radius R
+    def bound_km(R: int) -> F.Column:
+        band = F.least(
+            F.abs(F.col(plat)) + F.lit(float(R + 1) * size), F.lit(90.0)
+        )
+        return (
+            F.lit(float(R) * size * KM_PER_DEG * SAFETY)
+            * F.greatest(F.cos(F.radians(band)), F.lit(0.0))
+        )
+
     if radius_km is not None:
-        ring_cap = int(math.ceil(radius_km / (size * KM_PER_DEG * 0.5))) + 2
+        # global upper bound on useful rings in radius mode (the per-probe
+        # bound below finalizes earlier where cos(lat) allows)
+        ring_cap = int(math.ceil(radius_km / (size * KM_PER_DEG * 0.25))) + 2
     else:
         ring_cap = 1 << 30
 
+    # Driver-controlled iteration: every per-round frame is localCheckpointed
+    # (eager) — each round's plan must NOT reference the previous round's
+    # operators, or the lineage grows exponentially with rounds (ranked_N
+    # references carried_{N-1} AND pend_N references finished_{N-1} which
+    # references ranked_{N-1}...) and the driver OOMs stringifying the plan.
     done_parts: list[DataFrame] = []
-    r = initial_ring
-    for round_i in range(max_rounds):
-        cand = (
-            pend.withColumn("qcell", F.explode(C.k_ring("pcell", r, res)))
-            .join(obj, F.col("qcell") == F.col("ocell"), "inner")
+    carried: DataFrame | None = None  # top-want so far for pending probes
+    r_prev = -1
+    r = max(1, initial_ring)
+    pend = pend.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        e = _coarse_scale(r)
+        ring = C.annulus_cells(F.col("pix"), F.col("piy"), r, r_prev, e, res)
+        okey = (
+            F.lit((res - e) * C.RES_BITS_SHIFT)
+            + F.shiftright(F.col("oix"), e) * F.lit(C.IX_SHIFT)
+            + F.shiftright(F.col("oiy"), e)
+        )
+        new_cand = (
+            pend.withColumn("qcell", F.explode(ring))
+            .join(obj.withColumn("ocell", okey), F.col("qcell") == F.col("ocell"))
             .withColumn("dist_km", haversine_km(plat, plon, olat, olon))
         )
         if radius_km is not None:
-            cand = cand.filter(F.col("dist_km") <= radius_km)
+            new_cand = new_cand.filter(F.col("dist_km") <= radius_km)
+        new_cand = new_cand.select(probe_id, obj_id, olat, olon, "dist_km")
+        if carried is not None:
+            new_cand = new_cand.unionByName(
+                carried.select(probe_id, obj_id, olat, olon, "dist_km")
+            )
 
+        # coarse cells straddling the old boundary re-emit objects: dedup —
+        # but only when e > 0 can a coarse cell overlap already-covered
+        # ground (at e == 0 the annulus excludes the old square exactly), so
+        # the big dense round 0 skips the extra shuffle entirely
+        if e > 0:
+            new_cand = new_cand.dropDuplicates([probe_id, obj_id])
         w = Window.partitionBy(probe_id).orderBy("dist_km", obj_id)
         ranked = (
-            cand.withColumn("rank", F.row_number().over(w))
+            new_cand
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= want)
-            .select(probe_id, "rank", obj_id, olat, olon, "dist_km", plat, plon)
+            .localCheckpoint(eager=True)
         )
 
-        # guaranteed min distance to any unexplored cell, at each probe's lat
-        bound = (
-            F.lit(float(r) * size * KM_PER_DEG * SAFETY)
-            * F.cos(F.radians(F.abs(F.col(plat)) + F.lit(size)))
-        )
+        # one bookkeeping frame per round (checkpointed once, filtered for
+        # each use — keeps the per-round job count at 3):
+        #   finished by quality: k-th candidate closer than the guaranteed
+        #   min distance to any unexplored cell (per-probe cos-adjusted);
+        #   finished by exhaustion: covered the whole object domain, or
+        #   (radius mode) the bound already exceeds the radius.
         stats = ranked.groupBy(probe_id).agg(
-            F.count("*").alias("n_found"),
-            F.max("dist_km").alias("kth_dist"),
-            F.first(bound).alias("bound_km"),
+            F.count("*").alias("n_found"), F.max("dist_km").alias("kth_dist")
         )
-        exhausted = r >= ring_cap or (
-            radius_km is not None and float(r) * size * KM_PER_DEG * SAFETY >= radius_km
+        quality_cond = (F.col("n_found") >= want) & (
+            F.col("kth_dist") <= bound_km(r)
         )
-        finished_ids = stats.filter(
-            ((F.col("n_found") >= want) & (F.col("kth_dist") <= F.col("bound_km")))
-            | F.lit(exhausted)
-        ).select(probe_id)
+        exhausted_cond = F.col("r_needed") <= r
+        if radius_km is not None:
+            exhausted_cond = exhausted_cond | (bound_km(r) >= radius_km)
+        pend_ann = (
+            pend.join(stats, probe_id, "left")
+            .withColumn(
+                "fin", F.coalesce(quality_cond, F.lit(False)) | exhausted_cond
+            )
+            .localCheckpoint(eager=True)
+        )
+        finished_ids = pend_ann.filter("fin").select(probe_id)
 
         done_parts.append(
             ranked.join(finished_ids, probe_id, "leftsemi").select(
                 probe_id, "rank", obj_id, olat, olon, "dist_km"
             )
         )
-        pend_new = pend.join(finished_ids, probe_id, "leftanti").persist()
-        if exhausted or pend_new.isEmpty():
-            pend_new.unpersist()
+        pend_new = pend_ann.filter(~F.col("fin")).select(
+            probe_id, plat, plon, "pix", "piy", "r_needed"
+        )
+        if r >= ring_cap or pend_new.isEmpty():
+            carried = None
             break
-        pend.unpersist()
         pend = pend_new
-        r *= 2
+        # lazy is fine: depth stays bounded (both parents are checkpointed)
+        carried = ranked.join(finished_ids, probe_id, "leftanti")
+        r_prev, r = r, r * 4
     else:
-        # max_rounds hit: emit best-effort results for leftovers
-        cand = (
-            pend.withColumn("qcell", F.explode(C.k_ring("pcell", r, res)))
-            .join(obj, F.col("qcell") == F.col("ocell"), "inner")
-            .withColumn("dist_km", haversine_km(plat, plon, olat, olon))
-        )
-        w = Window.partitionBy(probe_id).orderBy("dist_km", obj_id)
-        done_parts.append(
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= want)
-            .select(probe_id, "rank", obj_id, olat, olon, "dist_km")
-        )
+        # max_rounds hit: emit best-effort carried results for leftovers
+        if carried is not None:
+            done_parts.append(
+                carried.select(probe_id, "rank", obj_id, olat, olon, "dist_km")
+            )
 
     out = done_parts[0]
     for p in done_parts[1:]:
@@ -163,7 +253,6 @@ def knn_join(
     out = out.persist()
     out.count()
     obj.unpersist()
-    pend.unpersist()
     return out
 
 

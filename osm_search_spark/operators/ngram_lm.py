@@ -28,9 +28,19 @@ START, END, UNK = "<s>", "</s>", "<UNK>"
 BACKOFF_LAMBDA = 0.4
 
 
+SMALL_VOCAB_MAX = 10000
+
+
 def replace_oov(tokens_df: DataFrame, threshold: int = 2) -> DataFrame:
     """(doc_id, tokens) with sub-threshold words replaced by <UNK>
-    (replaceOOVWordsWithUNK, ngram_lm.go:81-103)."""
+    (replaceOOVWordsWithUNK, ngram_lm.go:81-103).
+
+    Path choice never pulls the whole vocabulary to the driver: a bounded
+    `limit(SMALL_VOCAB_MAX + 1)` probe decides, and only a small vocabulary
+    is ever collected (for the literal array_contains fast path). A large
+    vocabulary stays distributed: posexplode + join + re-assemble, with the
+    join strategy left to Catalyst/AQE (a 100 TB corpus vocabulary is not
+    broadcastable by fiat)."""
     counts = (
         tokens_df.select(F.explode("tokens").alias("w"))
         .groupBy("w")
@@ -38,18 +48,17 @@ def replace_oov(tokens_df: DataFrame, threshold: int = 2) -> DataFrame:
         .filter(F.col("count") >= threshold)
         .select(F.col("w"))
     )
-    vocab = {r["w"] for r in counts.collect()}
-    bc = tokens_df.sparkSession.sparkContext.broadcast(vocab)
-    vocab_arr = F.array(*[F.lit(w) for w in sorted(vocab)]) if len(vocab) < 10000 else None
-    if vocab_arr is not None:
+    sample = counts.limit(SMALL_VOCAB_MAX + 1).collect()
+    if len(sample) <= SMALL_VOCAB_MAX:
+        vocab_arr = F.array(*[F.lit(r["w"]) for r in sorted(sample)])
         repl = F.transform(
             "tokens",
             lambda t: F.when(F.array_contains(vocab_arr, t), t).otherwise(F.lit(UNK)),
         )
         return tokens_df.select("doc_id", repl.alias("tokens"))
-    # big-vocab path: explode + broadcast join + re-collect
+    # big-vocab path: explode + join (Catalyst picks the strategy) + re-collect
     pos = tokens_df.select("doc_id", F.posexplode("tokens").alias("pos", "w"))
-    joined = pos.join(F.broadcast(counts.withColumn("known", F.lit(True))), "w", "left")
+    joined = pos.join(counts.withColumn("known", F.lit(True)), "w", "left")
     return (
         joined.withColumn("w2", F.when(F.col("known"), F.col("w")).otherwise(F.lit(UNK)))
         .groupBy("doc_id")

@@ -122,17 +122,20 @@ def classified_cover_rows(polygons_rows: list[dict], res: int) -> list[tuple]:
 
 
 def classified_cover(polygons: DataFrame, res: int = C.JOIN_RES) -> DataFrame:
-    """(polygon_id, cell_id, full) as a DataFrame. The polygon dim is
-    broadcast-small by contract on this path; classification runs once on
-    the driver in numpy (use refine='grouped' + plain cover for dims too
-    large to collect)."""
-    spark = polygons.sparkSession
-    rows = classified_cover_rows(
-        [r.asDict() for r in polygons.select("polygon_id", "ring_lat", "ring_lon").collect()],
-        res,
-    )
-    return spark.createDataFrame(
-        rows, "polygon_id long, cell_id long, full boolean"
+    """(polygon_id, cell_id, full) as a DataFrame.
+
+    Classification runs DISTRIBUTED: an Arrow-batched mapInPandas over the
+    polygon dim (the numpy kernel in classified_cover_rows vectorizes per
+    polygon) — a 50k-polygon dim with long rings classifies across
+    executors instead of stalling the driver (VERDICT r01 item 3)."""
+
+    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = classified_cover_rows(pdf.to_dict("records"), res)
+            yield pd.DataFrame(rows, columns=["polygon_id", "cell_id", "full"])
+
+    return polygons.select("polygon_id", "ring_lat", "ring_lon").mapInPandas(
+        classify, schema="polygon_id long, cell_id long, full boolean"
     )
 
 
@@ -171,82 +174,6 @@ def cell_join(
         cover = F.broadcast(cover)
     pts = points.withColumn("cell_id", C.latlng_to_cell(lat, lon, res))
     return pts.join(cover, "cell_id", "inner")
-
-
-def pip_expr(plat, plon, ring_lat, ring_lon) -> F.Column:
-    """Winding-number point-in-polygon as a PURE Column expression — the
-    whole test runs inside whole-stage codegen, no Python anywhere.
-
-    Exact replica of the reference windingNumber (geometry.go:100-118)
-    including the segment-bbox boundary short-circuit (:102-106): fold over
-    edges with `aggregate`, accumulator = struct(wn, on_edge).
-    """
-    edges = F.sequence(F.lit(1), F.size(ring_lat) - 1)
-
-    def edge(i):
-        return (
-            F.element_at(ring_lat, i), F.element_at(ring_lon, i),
-            F.element_at(ring_lat, i + 1), F.element_at(ring_lon, i + 1),
-        )
-
-    def on_seg(i):
-        alat, alon, blat, blon = edge(i)
-        return (
-            (plon >= F.least(alon, blon))
-            & (plon <= F.greatest(alon, blon))
-            & (plat >= F.least(alat, blat))
-            & (plat <= F.greatest(alat, blat))
-        )
-
-    def dwn(i):
-        alat, alon, blat, blon = edge(i)
-        cross = (blon - alon) * (plat - alat) - (plon - alon) * (blat - alat)
-        up = (alat <= plat) & (blat > plat) & (cross > 0)
-        dn = (alat > plat) & (blat <= plat) & (cross < 0)
-        return F.when(up, 1).when(dn, -1).otherwise(0)
-
-    # exists() short-circuits the boundary test; the wn fold is a plain int
-    # accumulator (codegen-friendly, no struct boxing per step)
-    on_edge = F.exists(edges, on_seg)
-    wn = F.aggregate(edges, F.lit(0), lambda acc, i: acc + dwn(i))
-    return on_edge | (wn != 0)
-
-
-def pip_expr_unrolled(plat, plon, ring_lat, ring_lon, max_edges: int) -> F.Column:
-    """pip_expr with the edge loop STATICALLY UNROLLED to `max_edges` terms.
-
-    Higher-order functions (aggregate/exists) evaluate on Catalyst's
-    interpreted path — row-at-a-time lambda eval with per-row allocations,
-    which contends on GC and stops scaling with cores. A static sum of
-    when() terms stays inside whole-stage codegen. Used when the polygon
-    dim's longest ring is small (admin rings here are rectangles: 4 edges);
-    rings longer than the unroll bound fall back to the HOF fold.
-    """
-    n = F.size(ring_lat)
-
-    def term(i):  # i = 1-based edge start index
-        alat, alon = F.element_at(ring_lat, i), F.element_at(ring_lon, i)
-        blat, blon = F.element_at(ring_lat, i + 1), F.element_at(ring_lon, i + 1)
-        live = F.lit(i) <= (n - 1)
-        seg = (
-            (plon >= F.least(alon, blon))
-            & (plon <= F.greatest(alon, blon))
-            & (plat >= F.least(alat, blat))
-            & (plat <= F.greatest(alat, blat))
-        )
-        cross = (blon - alon) * (plat - alat) - (plon - alon) * (blat - alat)
-        up = (alat <= plat) & (blat > plat) & (cross > 0)
-        dn = (alat > plat) & (blat <= plat) & (cross < 0)
-        dwn = F.when(~live, 0).when(up, 1).when(dn, -1).otherwise(0)
-        return dwn, (live & seg)
-
-    terms = [term(i) for i in range(1, max_edges + 1)]
-    wn = terms[0][0]
-    on_edge = terms[0][1]
-    for dwn, seg in terms[1:]:
-        wn = wn + dwn
-        on_edge = on_edge | seg
-    return on_edge | (wn != 0)
 
 
 def refine_pip_expr(
@@ -381,6 +308,9 @@ def refine_pip_grouped(
     return joined.groupBy("polygon_id").applyInPandas(pip_group, schema=out_schema)
 
 
+AUTO_GROUPED_DIM_THRESHOLD = 20000
+
+
 def spatial_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -389,6 +319,7 @@ def spatial_join(
     lon: str = "lon",
     refine: bool | str = "expr",
     broadcast_cover: bool = True,
+    dim_threshold: int = AUTO_GROUPED_DIM_THRESHOLD,
 ) -> DataFrame:
     """Full PIP join: point columns + (polygon_id). Exact unless refine=False.
 
@@ -396,8 +327,17 @@ def spatial_join(
     (broadcast-rings mapInPandas; for very large rings where the per-edge
     fold is too wide), "grouped" (applyInPandas co-group; for polygon dims
     too big to broadcast), or False (coarse cell join only).
+
+    The default path auto-falls back to the non-broadcast "grouped" plan
+    when the polygon dim exceeds ``dim_threshold`` rows (bounded limit+count
+    probe — never a full count of an unbounded dim).
     """
     polygons = with_bbox(polygons)
+    if refine == "expr" and dim_threshold is not None:
+        n_probe = polygons.select("polygon_id").limit(dim_threshold + 1).count()
+        if n_probe > dim_threshold:
+            refine = "grouped"
+            broadcast_cover = False
     if refine is False:
         return cell_join(points, polygons, res, lat, lon, broadcast_cover)
     if refine in (True, "arrow"):

@@ -16,6 +16,12 @@ autocomplete pipelines (pkg/searcher/searcher.go + spell_corrector.go).
   weight_f = W_f * tf / (1 + B*(len_f/avglen_f - 1)); score += idf *
   weight/(K1+weight). NOTE the reference uses NAME_B in the address branch
   too (searcher.go:301) — replicated faithfully.
+  INTENTIONAL DEVIATION: searcher.go:255-288 shadows `ok` with the
+  address-postings lookup, so the reference silently skips scoring a term
+  that appears ONLY in the name field (no address postings). We score
+  name-only terms too — rankings can differ from the reference exactly for
+  such terms; the shadowing is a Go bug, not a semantic choice, and
+  dropping name matches would contradict the NAME_WEIGHT=20 design.
 - FreeFormQuery pipeline (searcher.go:150-246) and Autocomplete
   (searcher.go:402-491): tokenize -> vocab check -> correct -> score ->
   page -> fetch docs.
@@ -35,14 +41,21 @@ ADDRESS_WEIGHT, ADDRESS_B = 1.0, 0.3
 
 
 def spell_candidates(
-    term_dict: DataFrame, token: str, max_dist: int = 2
+    term_dict: DataFrame, token: str, max_dist: int = 2,
+    max_candidates: int = 10000,
 ) -> list[str]:
-    """Vocab terms within edit distance 1, then 2 (each block sorted)."""
+    """Vocab terms within edit distance 1, then 2 (each block sorted).
+
+    The collect is BOUNDED (deterministic (d, term) order, max_candidates
+    rows) — a pathological token against a web-scale dictionary cannot OOM
+    the driver; the cap never binds on realistic vocabularies."""
     cand = (
         term_dict.select(
             "term", F.levenshtein(F.lit(token), F.col("term")).alias("d")
         )
         .filter(F.col("d") <= max_dist)
+        .orderBy("d", "term")
+        .limit(max_candidates)
         .collect()
     )
     out = []
@@ -76,7 +89,13 @@ def correct_query(
     tokens = [t for t in query.lower().split() if t]
     if not tokens:
         raise ValueError("query is empty")
-    vocab = {r["term"] for r in term_dict.select("term").collect()}
+    # vocab membership via a tiny-frame semi-join — NOT a full term_dict
+    # collect (a 100 TB-corpus dictionary would OOM the driver); only the
+    # query's own tokens come back
+    tok_frame = spark.createDataFrame([(t,) for t in set(tokens)], "term string")
+    vocab = {
+        r["term"] for r in tok_frame.join(term_dict, "term", "leftsemi").collect()
+    }
     per_token: list[list[str]] = []
     for i, tok in enumerate(tokens):
         if prefix_last and i == len(tokens) - 1:

@@ -182,6 +182,29 @@ def probes_sql() -> str:
     return f"select * from (values {rows}) probes(probe_id, plat, plon)"
 
 
+# Probes FAR from every derived point (the band is lat -7.95..-7.4,
+# lon 110.2..110.95): forces the kNN ring to double many rounds before any
+# candidate appears — the sparse-probe stress case for the incremental
+# annulus expansion (VERDICT r01 item 1's done-criterion).
+FAR_PROBES = [
+    (100, -7.60, 114.50),   # ~390 km east of the band
+    (101, -2.50, 110.55),   # ~550 km north
+    (102, -7.60, 106.00),   # ~460 km west
+    (103, -11.80, 110.55),  # ~430 km south
+]
+
+
+def probes_far_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        FAR_PROBES, schema="probe_id long, plat double, plon double"
+    )
+
+
+def probes_far_sql() -> str:
+    rows = ",".join(f"({i}, {dlit(la)}, {dlit(lo)})" for i, la, lo in FAR_PROBES)
+    return f"select * from (values {rows}) probes(probe_id, plat, plon)"
+
+
 # --- 4. geofence fixtures (reference README example + circle_test.go) --------
 
 FENCES = [

@@ -59,6 +59,43 @@ def test_radius_filter_postcondition(spark):
         assert r["obj_id"] % 2 == 1
 
 
+def test_far_probe_and_empty_objects(spark):
+    # probe ~200 km from every object: the incremental annulus must double
+    # through many rounds (bounded fan-out) and still return the exact 3-NN
+    objects = _objects(spark)
+    probes = _probes(spark, -7.55, 110.8)  # golden cluster is the only
+    res = knn_join(probes, objects, k=3, res=14).orderBy("rank").collect()
+    from osm_search_spark.functions.geometry import haversine_km_np
+
+    obj = objects.toPandas()
+    d = haversine_km_np(-7.55, 110.8, obj["olat"].to_numpy(), obj["olon"].to_numpy())
+    order = np.lexsort((obj["obj_id"].to_numpy(), d))
+    assert [r["obj_id"] for r in res] == list(obj["obj_id"].to_numpy()[order[:3]])
+
+    # zero objects: domain cap terminates immediately with an empty result
+    empty = spark.createDataFrame([], "obj_id long, olat double, olon double")
+    assert knn_join(probes, empty, k=3, res=14).count() == 0
+
+
+def test_annulus_fanout_bounded(spark):
+    # the per-round explode width must stay O(1) as the radius doubles —
+    # the scale contract that replaces round-1's full-disk re-explode
+    from pyspark.sql import functions as F
+
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.knn import _coarse_scale
+
+    one = spark.createDataFrame([(16000, 8000)], "pix long, piy long")
+    r_prev, r = -1, 1
+    for _ in range(8):  # up to r=16384 (full res-14 grid height), x4 growth
+        e = _coarse_scale(r)
+        n = one.select(
+            F.size(C.annulus_cells(F.col("pix"), F.col("piy"), r, r_prev, e, 14))
+        ).collect()[0][0]
+        assert n <= 150, f"annulus at r={r} exploded {n} cells"
+        r_prev, r = r, r * 4
+
+
 def test_knn_matches_bruteforce(spark):
     # probe in the dense random cloud — exercises ring-1 finalization
     objects = _objects(spark)

@@ -77,3 +77,26 @@ def test_query_prob_value_sanity(spark):
     p1 = 0.4**3 * (5 / 19)
     p2 = 0.4**2 * (2 / 5)
     assert math.isclose(scored[0], math.log(p1) + math.log(p2), rel_tol=1e-9)
+
+
+def test_big_vocab_join_path(spark):
+    # >SMALL_VOCAB_MAX distinct above-threshold terms: exercises the
+    # distributed join path end-to-end (VERDICT r01 item 2 done-criterion)
+    from pyspark.sql import functions as F
+
+    n = ngram_lm.SMALL_VOCAB_MAX + 500
+    toks = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            F.concat(F.lit("w"), F.col("id")),
+            F.concat(F.lit("w"), F.col("id")),  # freq 2 -> in-vocab
+            F.concat(F.lit("rare"), F.col("id")),  # freq 1 -> <UNK>
+        ).alias("tokens"),
+    )
+    out = ngram_lm.replace_oov(toks, 2)
+    sample = {r["doc_id"]: r["tokens"] for r in out.filter("doc_id in (0, 7)").collect()}
+    assert sample[0] == ["w0", "w0", "<UNK>"]
+    assert sample[7] == ["w7", "w7", "<UNK>"]
+    # token order/count preserved for every doc
+    bad = out.filter(F.size("tokens") != 3).count()
+    assert bad == 0

@@ -151,3 +151,37 @@ def test_admin_fixture_counts(spark):
         .count()
     )
     assert per_level.filter(F.col("count") > 1).count() == 0
+
+
+def test_classified_cover_distributed_5k(spark):
+    # 5k polygons classify off-driver (mapInPandas) — FULL/PARTIAL flags
+    # must agree with the per-polygon numpy kernel
+    import numpy as np
+
+    from osm_search_spark.operators.spatial_join import (
+        classified_cover, classified_cover_rows,
+    )
+
+    base_lat, base_lon = -7.9, 110.2
+    rows = []
+    for i in range(5000):
+        la = base_lat + (i % 70) * 0.01
+        lo = base_lon + (i // 70) * 0.01
+        rows.append(
+            (i, [la, la, la + 0.03, la + 0.03, la],
+             [lo, lo + 0.03, lo + 0.03, lo, lo])
+        )
+    polys = spark.createDataFrame(
+        rows, "polygon_id long, ring_lat array<double>, ring_lon array<double>"
+    )
+    got = classified_cover(polys, res=12)
+    assert got.count() > 5000
+    # spot-check one polygon against the driver kernel
+    want = classified_cover_rows(
+        [dict(polygon_id=0, ring_lat=rows[0][1], ring_lon=rows[0][2])], 12
+    )
+    got0 = {
+        (r["cell_id"], r["full"])
+        for r in got.filter("polygon_id = 0").collect()
+    }
+    assert got0 == {(c, f) for _, c, f in want}
