@@ -781,16 +781,66 @@ from t
 """
 
 
-# Q26 (rows-only): simhash signatures — xxhash64 not available in DuckDB
+# Q26: simhash signatures — the oracle-checked query uses the PORTABLE
+# variant (60-bit md5-prefix token hash, recomputable bit-for-bit in
+# DuckDB); the xxhash64 64-bit variant stays as the operator default and is
+# pytest-verified (tests/test_dedup_similarity.py).
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs(spark, sf_dir))
+    return dedup.simhash_portable(_docs(spark, sf_dir))
 
 
-# Q27b (rows-only): the north-rule spine over the ACTUAL input shape —
-# geotagged image+caption records -> cell-cover PIP join -> tile ids.
-# No oracle: image synthesis (PNG bytes, pHash-derived geotags) is not
-# reproducible in SQL; correctness of each stage is separately oracle- or
-# golden-checked (spatial_tile_join, test_images_table_invariants).
+def sql_simhash() -> str:
+    return dedup.simhash_portable_sql("documents")
+
+
+# Q26b: concave-ring PIP join — non-rectangular polygons (reflex vertices,
+# diagonal edges), so the driver gate exercises the exact winding-number
+# refine (geometry.go:86-122 semantics incl. the segment-bbox boundary
+# quirk :102-106), not just bbox containment.
+def q_concave_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = synth.derive_points(spark, sf_dir)
+    polys = synth.concave_polygons_df(spark)
+    joined = spatial_join(points, polys, res=C.JOIN_RES)
+    return joined.select(
+        "point_id", F.col("polygon_id").cast("long").alias("polygon_id")
+    )
+
+
+def sql_concave_pip() -> str:
+    cross = "((rn[i+1]-rn[i])*(plat-rl[i]) - (plon-rn[i])*(rl[i+1]-rl[i]))"
+    return f"""
+with points as ({synth.points_sql()}),
+polys as ({synth.concave_polygons_sql()}),
+pairs as (
+  select p.point_id, cp.polygon_id, p.lat as plat, p.lon as plon,
+         cp.ring_lat as rl, cp.ring_lon as rn
+  from points p join polys cp
+    on p.lat >= list_min(cp.ring_lat) and p.lat <= list_max(cp.ring_lat)
+   and p.lon >= list_min(cp.ring_lon) and p.lon <= list_max(cp.ring_lon)
+),
+scored as (
+  select point_id, polygon_id,
+    list_sum([case when rl[i] <= plat and rl[i+1] > plat and {cross} > 0 then 1
+                   when rl[i] > plat and rl[i+1] <= plat and {cross} < 0 then -1
+                   else 0 end
+              for i in generate_series(1, len(rl) - 1)]) as wn,
+    len(list_filter(generate_series(1, len(rl) - 1), i ->
+        plon >= least(rn[i], rn[i+1]) and plon <= greatest(rn[i], rn[i+1])
+        and plat >= least(rl[i], rl[i+1]) and plat <= greatest(rl[i], rl[i+1])
+    )) > 0 as on_edge
+  from pairs
+)
+select point_id, cast(polygon_id as bigint) as polygon_id
+from scored where on_edge or wn <> 0
+"""
+
+
+# Q27b: the north-rule spine over the ACTUAL input shape — geotagged
+# image+caption records -> cell-cover PIP join -> tile ids. The oracle
+# re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
+# closed-form per index) and embeds (image_id, caption, phash, lat, lon)
+# as VALUES — the bytes themselves aren't needed for the join semantics,
+# and decode invariants are separately pytest-checked (PSNR/phash tests).
 def q_image_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_search_spark.operators.spatial_join import spatial_join as sj
     from osm_search_spark.sources import images as img_src
@@ -805,13 +855,61 @@ def q_image_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q27 (rows-only): pHash near-dup pairs over the synthesized image table
+def sql_image_tile_join() -> str:
+    from osm_search_spark.sources import images as img_src
+
+    vals = ",\n".join(
+        "('{}', '{}', {}::bigint, {}, {})".format(
+            r["image_id"], r["caption"].replace("'", "''"), r["phash"],
+            synth.dlit(r["lat"]), synth.dlit(r["lon"]),
+        )
+        for r in (img_src.make_row(i) for i in range(400))
+    )
+    box = (img_src.LAT0, img_src.LON0, img_src.LAT1, img_src.LON1)
+    return f"""
+with imgs as (
+  select * from (values\n{vals}\n) i(image_id, caption, phash, lat, lon)
+),
+polys as ({synth.admin_polygons_sql(box)})
+select i.image_id, cast(p.polygon_id as bigint) as polygon_id,
+       i.caption, i.phash,
+       {C.latlng_to_cell_sql('i.lat', 'i.lon', C.TILE_RES)} as tile_id
+from imgs i join polys p
+  on i.lat >= p.minlat and i.lat <= p.maxlat
+ and i.lon >= p.minlon and i.lon <= p.maxlon
+"""
+
+
+# Q27: pHash near-dup pairs over the synthesized image table. Oracle:
+# driver-side re-synthesis of the 48 deterministic phashes as VALUES +
+# the same 16-bit-band candidate join and bit_count(xor) refine in SQL.
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_search_spark.operators import image_ops
     from osm_search_spark.sources import images as img_src
 
     imgs = img_src.images_table(spark, 48)
     return image_ops.phash_near_dup_pairs(imgs, max_hamming=16)
+
+
+def sql_phash_near_dup() -> str:
+    from osm_search_spark.sources import images as img_src
+
+    vals = ",".join(
+        f"('{r['image_id']}', {r['phash']}::bigint)"
+        for r in (img_src.make_row(i) for i in range(48))
+    )
+    band_match = " or ".join(
+        f"((a.phash >> {b * 16}) & 65535) = ((b.phash >> {b * 16}) & 65535)"
+        for b in range(4)
+    )
+    return f"""
+with imgs as (select * from (values {vals}) i(image_id, phash))
+select image_a, image_b, hamming from (
+  select a.image_id as image_a, b.image_id as image_b,
+         cast(bit_count(xor(a.phash, b.phash)) as integer) as hamming
+  from imgs a join imgs b on a.image_id < b.image_id and ({band_match})
+) where hamming <= 16
+"""
 
 
 
@@ -1047,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_sessionize,
         "lang_id": q_lang_id,
         "simhash": q_simhash,
+        "concave_pip_join": q_concave_pip,
         "phash_near_dup": q_phash_near_dup,
         "image_tile_join": q_image_tile_join,
         "places_build": q_places_build,
@@ -1085,10 +1184,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_radius_feature": sql_knn_radius_feature(),
         "events_sessionize": sql_sessionize(),
         "lang_id": sql_lang_id(),
+        "simhash": sql_simhash(),
+        "concave_pip_join": sql_concave_pip(),
+        "phash_near_dup": sql_phash_near_dup(),
+        "image_tile_join": sql_image_tile_join(),
         "places_build": sql_places_build(),
         "bulk_reverse_geocode": sql_bulk_reverse_geocode(),
         "embedding_near_dup": sql_embedding_near_dup(),
-        # simhash / phash_near_dup / image_tile_join: intentionally no
-        # oracle (xxhash64 / image synthesis not expressible in DuckDB)
-        # -> rows-only checks; every stage is separately oracle-checked
     }

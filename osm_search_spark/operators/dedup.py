@@ -136,6 +136,64 @@ def simhash(
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_portable(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text", bits: int = 60
+) -> DataFrame:
+    """(doc_id, simhash) — engine-portable simhash: the per-token hash is
+    the first 15 hex digits of md5 (60 bits, fits signed int64 positive), so
+    a DuckDB oracle can recompute it bit-for-bit (`simhash_portable_sql`).
+    Same vote/threshold semantics as `simhash` (which keeps xxhash64 for
+    full 64-bit width on the non-oracle path)."""
+    assert bits <= 60
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(tokenize_simple(text)).alias("t"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_portable_sql(docs_rel: str, bits: int = 60) -> str:
+    """DuckDB twin of simhash_portable (identical md5-hex-prefix hash)."""
+    votes = ",\n    ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as v{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(case when v{b} > 0 then {1 << b}::bigint else 0::bigint end)"
+        for b in range(bits)
+    )
+    return f"""
+with tok as (
+  select doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) as t
+  from {docs_rel}
+),
+hashed as (
+  select doc_id, cast(concat('0x', substr(md5(t), 1, 15)) as bigint) as h from tok
+),
+votes as (
+  select doc_id,
+    {votes}
+  from hashed group by doc_id
+)
+select cast(doc_id as bigint) as doc_id, ({sim}) as simhash from votes
+"""
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     doc_id: str = "doc_id",

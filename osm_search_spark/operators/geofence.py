@@ -50,18 +50,29 @@ def _line_circle_intersect(
     return (disc >= 0.0) & (a > 0.0) & on_seg
 
 
+BROADCAST_FENCE_MAX = 10000
+
+
 def geofence_status(
     tracks: DataFrame,
     fences: DataFrame,
     entity: str = "query_point_id",
     seq: str = "seq",
     nearest_n: int | None = None,
+    fence_broadcast_threshold: int = BROADCAST_FENCE_MAX,
 ) -> DataFrame:
     """(entity, seq, fence_name, status) per track point × fence.
 
     `nearest_n` optionally restricts to the n nearest fences per point
-    (reference uses 3-NN, geofence.go:63-95) — with broadcast fences the
-    restriction is a window, not a join strategy.
+    (reference uses 3-NN, geofence.go:63-95).
+
+    Join strategy is picked by fence-dim size (bounded limit+count probe):
+    below `fence_broadcast_threshold` fences broadcast and the nearest_n
+    restriction is a window; above it the points NEVER cross-join the fence
+    set — candidate fences come from the same incremental cell-ring kNN
+    used everywhere else (knn_join over fence centers), reproducing the
+    reference's nearest-fence prefilter (geofence.go:63-95) as a join
+    strategy. The big path requires nearest_n (the reference always uses 3).
     """
     w = Window.partitionBy(entity).orderBy(seq)
     t = tracks.withColumns(
@@ -76,6 +87,10 @@ def geofence_status(
         F.col("lon").alias("flon"),
         "radius_km",
     )
+    n_probe = fz.limit(fence_broadcast_threshold + 1).count()
+    if n_probe > fence_broadcast_threshold:
+        return _geofence_status_knn(t, fz, entity, seq, nearest_n or 3)
+
     j = t.crossJoin(F.broadcast(fz))
     if nearest_n is not None:
         wn = Window.partitionBy(entity, seq).orderBy(
@@ -85,6 +100,12 @@ def geofence_status(
             F.col("_fr") <= nearest_n
         ).drop("_fr")
 
+    return _status_frame(j, entity, seq)
+
+
+def _status_frame(j: DataFrame, entity: str, seq: str) -> DataFrame:
+    """Status matrix (geofence.go:97-116) over candidate (point, fence)
+    rows carrying lat/lon/prev_lat/prev_lon/flat/flon/radius_km."""
     now_in = haversine_km("lat", "lon", "flat", "flon") <= F.col("radius_km")
     prev_in = F.when(
         F.col("prev_lat").isNotNull(),
@@ -108,3 +129,33 @@ def geofence_status(
     return j.select(
         F.col(entity), F.col(seq), "fence_name", status.alias("status")
     )
+
+
+def _geofence_status_knn(
+    t: DataFrame, fz: DataFrame, entity: str, seq: str, nearest_n: int
+) -> DataFrame:
+    """Scale path: candidate fences per point via the incremental cell-ring
+    kNN over fence centers (the reference's nearest-fence prefilter,
+    geofence.go:63-95, as a join strategy) — points never see the full
+    fence set. `t` already carries prev_lat/prev_lon."""
+    from .knn import knn_join
+
+    pt = t.withColumn(
+        "_pt_id", F.concat_ws("\x1f", F.col(entity), F.col(seq).cast("string"))
+    )
+    cand = knn_join(
+        pt.select("_pt_id", "lat", "lon"),
+        fz,
+        k=nearest_n,
+        probe_id="_pt_id",
+        plat="lat",
+        plon="lon",
+        obj_id="fence_name",
+        olat="flat",
+        olon="flon",
+    ).select("_pt_id", "fence_name")
+    j = (
+        pt.join(cand, "_pt_id")
+        .join(fz, "fence_name")
+    )
+    return _status_frame(j, entity, seq)

@@ -126,16 +126,56 @@ def admin_polygons(spark: SparkSession, box: tuple = COUNTRY) -> DataFrame:
     )
 
 
-def admin_polygons_sql() -> str:
+def admin_polygons_sql(box: tuple = COUNTRY) -> str:
     """DuckDB VALUES twin (bbox only — rectangles, so bbox == exact PIP)."""
     rows = ",\n".join(
         f"({p['polygon_id']}, '{p['name']}', {p['admin_level']}, "
         f"{dlit(p['minlat'])}, {dlit(p['minlon'])}, {dlit(p['maxlat'])}, {dlit(p['maxlon'])})"
-        for p in admin_polygons_py()
+        for p in admin_polygons_py(box)
     )
     return (
         "select * from (values\n" + rows +
         "\n) polys(polygon_id, name, admin_level, minlat, minlon, maxlat, maxlon)"
+    )
+
+
+# --- 2b. concave polygon fixtures --------------------------------------------
+
+# Non-rectangular rings (reflex vertices, diagonal edges) so the oracle gate
+# exercises the exact winding-number refine, not just bbox containment:
+# an L, an arrow with a concave notch, and a comb with two teeth. Rings are
+# CLOSED (first == last). All inside the points band.
+CONCAVE_POLYGONS = [
+    # L-shape
+    (0, [-7.80, -7.80, -7.68, -7.68, -7.50, -7.50, -7.80],
+        [110.30, 110.60, 110.60, 110.42, 110.42, 110.30, 110.30]),
+    # arrow with notch (diagonal edges)
+    (1, [-7.65, -7.65, -7.50, -7.58, -7.50, -7.65],
+        [110.55, 110.85, 110.85, 110.70, 110.55, 110.55]),
+    # comb: two teeth, two reflex notches
+    (2, [-7.92, -7.92, -7.86, -7.86, -7.82, -7.82, -7.76, -7.76, -7.92],
+        [110.40, 110.52, 110.52, 110.44, 110.44, 110.52, 110.52, 110.40, 110.40]),
+]
+
+
+def concave_polygons_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        CONCAVE_POLYGONS,
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+    )
+
+
+def concave_polygons_sql() -> str:
+    rows = ",\n".join(
+        "({}, [{}]::double[], [{}]::double[])".format(
+            pid,
+            ",".join(dlit(v) for v in rl),
+            ",".join(dlit(v) for v in rn),
+        )
+        for pid, rl, rn in CONCAVE_POLYGONS
+    )
+    return (
+        "select * from (values\n" + rows + "\n) cp(polygon_id, ring_lat, ring_lon)"
     )
 
 

@@ -43,3 +43,32 @@ def test_cross_status(spark):
     )
     assert got[("y", 1)] == "OUTSIDE"
     assert got[("y", 2)] == "CROSS"
+
+
+def test_knn_scale_path_matches_broadcast(spark):
+    # force the fence-side cell-ring kNN path (threshold=1) on a 60-fence
+    # grid; with nearest_n=3 on both paths the statuses must agree
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    fences = spark.createDataFrame(
+        [
+            (f"f{i}", -6.3 + 0.05 * (i % 10), 106.6 + 0.05 * (i // 10), 1.0)
+            for i in range(60)
+        ],
+        "fence_name string, lat double, lon double, radius_km double",
+    )
+    tracks = spark.createDataFrame(
+        [
+            ("e%d" % (i % 5), i // 5,
+             float(-6.3 + rng.uniform(0, 0.5)), float(106.6 + rng.uniform(0, 0.3)))
+            for i in range(40)
+        ],
+        "query_point_id string, seq int, lat double, lon double",
+    )
+    small = geofence_status(tracks, fences, nearest_n=3)
+    big = geofence_status(tracks, fences, nearest_n=3, fence_broadcast_threshold=1)
+    k = ["query_point_id", "seq", "fence_name", "status"]
+    a = {tuple(r) for r in small.select(k).collect()}
+    b = {tuple(r) for r in big.select(k).collect()}
+    assert a == b
