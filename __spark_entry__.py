@@ -1014,7 +1014,7 @@ with_street as (
 ),
 polys as ({polys_sql}),
 admin_matched as (
-  select i.id, p.name, p.admin_level,
+  select i.id, p.polygon_id, p.name, p.admin_level,
          row_number() over (
            partition by i.id, p.admin_level
            order by case when p.admin_level = 4
@@ -1027,14 +1027,24 @@ admin_matched as (
 admin as (
   select id, string_agg(name, ', ' order by admin_level desc) as suffix
   from admin_matched where rn = 1 group by id
+),
+-- kelurahan postal-code fallback (indexer.go:1053-1055,1146-1148): docs
+-- without addr:postcode inherit the finest enclosing relation's code;
+-- synth relations carry '5' || 4-digit polygon_id (sources/osm.py:79)
+rel_pc as (
+  select id, '5' || lpad(cast(polygon_id as varchar), 4, '0') as pc
+  from (
+    select id, polygon_id,
+           row_number() over (partition by id order by admin_level desc) as r
+    from admin_matched where rn = 1
+  ) where r = 1
 )
 select w.id, w.name, w.lat, w.lon,
-       case when a.suffix is not null and w.street2 <> ''
-            then w.street2 || ', ' || a.suffix
-            when a.suffix is not null then a.suffix
-            else w.street2 end as address,
+       concat_ws(', ', nullif(w.street2, ''), a.suffix, rel_pc.pc) as address,
        w.type
-from with_street w left join admin a using (id)
+from with_street w
+left join admin a using (id)
+left join rel_pc using (id)
 """
 
 

@@ -34,10 +34,22 @@ BM25_K1, BM25_B = 1.2, 0.75
 
 
 def doc_tokens(
-    docs: DataFrame, doc_id: str = "doc_id", text: str = "text", simple: bool = True
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text",
+    simple: bool = True, stem_roots: "frozenset | None" = None,
 ) -> DataFrame:
+    """Tokenize (optionally stem) one text field -> (doc_id, tokens).
+
+    stem_roots: root-word dictionary enabling Indonesian confix-stripping
+    on the INDEX side, like the reference stems every indexed token
+    (indexer.go:804 via pkg/util.go:12-14). Stemming cost is per unique
+    term (functions/stemmer.stemmed_tokens), not per token instance."""
     tok = tokenize_simple(text) if simple else tokenize(text)
-    return docs.select(F.col(doc_id).alias("doc_id"), tok.alias("tokens"))
+    out = docs.select(F.col(doc_id).alias("doc_id"), tok.alias("tokens"))
+    if stem_roots is not None:
+        from ..functions.stemmer import stemmed_tokens
+
+        out = stemmed_tokens(out, stem_roots)
+    return out
 
 
 def build_postings(tokens_df: DataFrame) -> DataFrame:
@@ -263,14 +275,22 @@ def batch_bm25_search(
     corpus = stats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = corpus["n"], float(corpus["avgdl"])
 
+    # Shuffle shape (the thing that decides 100 TB scaling):
+    #  - postings + stats + df enrich on the CORPUS side, query-independent
+    #    (amortizable across batches when persisted by the caller);
+    #  - the query batch BROADCASTS onto it (a batch is bounded; the corpus
+    #    is not) — the big side never shuffles for the query join;
+    #  - ONE explicit repartition by query_id then both the score aggregate
+    #    (hash partitioning on a subset of the grouping keys satisfies the
+    #    clustering requirement) and the top-k window reuse it: one wide
+    #    stage total after the corpus enrich.
     df_t = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    enriched = postings.join(stats, "doc_id").join(F.broadcast(df_t), "term")
     qterms = queries_df.select(
         "query_id", F.explode("terms").alias("term")
     )
     scored = (
-        qterms.join(postings, "term")
-        .join(F.broadcast(df_t), "term")
-        .join(stats, "doc_id")
+        F.broadcast(qterms).join(enriched, "term")
         .withColumn(
             "idf",
             F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
@@ -281,6 +301,7 @@ def batch_bm25_search(
             * (F.col("tf") * (k1 + 1.0))
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
         )
+        .repartition("query_id")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("term_score").alias("score"))
     )

@@ -79,14 +79,23 @@ def correct_query(
     counts: DataFrame,
     top: int = 1,
     prefix_last: bool = False,
+    stem_roots: "frozenset | None" = None,
 ) -> list[list[str]]:
-    """Tokenize + vocab check + spell/prefix expand + LM rank.
+    """Tokenize + (optional stem) + vocab check + spell/prefix expand + LM
+    rank.
 
+    stem_roots: stem query tokens through the same Indonesian
+    confix-stripper as the index side — searcher.go:158 stems every query
+    token before the vocabulary check, so a stemmed index REQUIRES this.
     prefix_last=True gives autocomplete semantics: the last token expands by
     prefix match (GetMatchedWordBasedOnPrefix, spell_corrector.go:160-188)
     instead of edit distance, and `top` interpretations return (3 in the
     reference)."""
     tokens = [t for t in query.lower().split() if t]
+    if stem_roots is not None:
+        from ..functions.stemmer import stem
+
+        tokens = [stem(t, stem_roots) for t in tokens]
     if not tokens:
         raise ValueError("query is empty")
     # vocab membership via a tiny-frame semi-join — NOT a full term_dict
@@ -115,6 +124,106 @@ def correct_query(
     return ngram_lm.best_query(spark, cands, counts, top=top)
 
 
+def batch_correct_queries(
+    spark: SparkSession,
+    queries: list[str],
+    term_dict: DataFrame,
+    counts: DataFrame,
+    max_dist: int = 2,
+    max_candidates_per_token: int = 64,
+    stem_roots: "frozenset | None" = None,
+) -> list[list[str]]:
+    """Spell-correct N queries with a CONSTANT number of Spark jobs.
+
+    The per-query path (correct_query) runs a vocab probe + one levenshtein
+    scan per OOV token + one LM job per query — fine for a REPL, linear in
+    jobs for a batch. This path does, for the whole batch at once:
+
+      1. ONE semi-join for vocab membership of every distinct token;
+      2. ONE levenshtein join of the distinct OOV tokens against the term
+         dictionary (d<=2 candidates, deterministic (d, term) order,
+         bounded per token);
+      3. ONE query_log_prob call scoring every candidate interpretation of
+         every query (the 7 count-table joins amortize across the batch);
+      4. driver-side argmax per original query (tiny).
+
+    Returns the best interpretation per query, same semantics as
+    correct_query(top=1) for each.
+    """
+    tok_lists = []
+    for q in queries:
+        toks = [t for t in q.lower().split() if t]
+        if stem_roots is not None:
+            from ..functions.stemmer import stem
+
+            toks = [stem(t, stem_roots) for t in toks]
+        if not toks:
+            raise ValueError("query is empty")
+        tok_lists.append(toks)
+
+    all_tokens = sorted({t for toks in tok_lists for t in toks})
+    tok_frame = spark.createDataFrame([(t,) for t in all_tokens], "term string")
+    vocab = {
+        r["term"] for r in tok_frame.join(term_dict, "term", "leftsemi").collect()
+    }
+    unknown = sorted(set(all_tokens) - vocab)
+
+    cand_map: dict[str, list[str]] = {}
+    if unknown:
+        unk_frame = F.broadcast(
+            spark.createDataFrame([(t,) for t in unknown], "token string")
+        )
+        w = Window.partitionBy("token").orderBy("d", "term")
+        rows = (
+            term_dict.crossJoin(unk_frame)
+            .withColumn("d", F.levenshtein(F.col("token"), F.col("term")))
+            .filter((F.col("d") >= 1) & (F.col("d") <= max_dist))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_candidates_per_token)
+            .select("token", "term", "d")
+            .collect()
+        )
+        # collect order is partition order — restore the contract order
+        # (d=1 block then d=2, each sorted) per token
+        rows.sort(key=lambda r: (r["token"], r["d"], r["term"]))
+        for r in rows:
+            cand_map.setdefault(r["token"], []).append(r["term"])
+
+    # assemble candidate interpretations per query (reference cartesian fold)
+    all_cands: list[list[str]] = []
+    spans: list[tuple[int, int]] = []  # [start, end) into all_cands per query
+    for toks in tok_lists:
+        per_token = [
+            [t] if t in vocab else (cand_map.get(t) or [t]) for t in toks
+        ]
+        cands = candidate_queries(per_token)
+        spans.append((len(all_cands), len(all_cands) + len(cands)))
+        all_cands.extend(cands)
+
+    multi = [i for i, (s, e) in enumerate(spans) if e - s > 1]
+    if not multi:
+        return [all_cands[s] for s, _ in spans]
+
+    scored = ngram_lm.query_log_prob(spark, all_cands, counts).collect()
+    by_id = {r["query_id"]: r["log_prob"] for r in scored}
+
+    out: list[list[str]] = []
+    for s, e in spans:
+        if e - s == 1:
+            out.append(all_cands[s])
+            continue
+
+        def keyf(i):
+            p = by_id.get(i)
+            if p is None or p != p:  # NaN
+                p = float("-inf")
+            return (-p, i)
+
+        best = min(range(s, e), key=keyf)
+        out.append(all_cands[best])
+    return out
+
+
 class BM25FIndex:
     """Prebuilt per-field postings + stats — the 'loaded index' of the
     reference (Searcher.LoadMainIndex, searcher.go:84-133). Build once,
@@ -127,11 +236,17 @@ class BM25FIndex:
         doc_id: str = "id",
         name_col: str = "name",
         address_col: str = "address",
+        stem_roots: "frozenset | None" = None,
     ):
+        """stem_roots: enable index-side Indonesian stemming (the reference
+        stems every indexed token, indexer.go:804); query tokens must then
+        be stemmed too (correct_query(stem_roots=...)), like
+        searcher.go:158."""
         self.n_docs = places.count()
+        self.stem_roots = stem_roots
         self.fields: dict[str, tuple[DataFrame, DataFrame, float]] = {}
         for field, col in (("name", name_col), ("address", address_col)):
-            toks = search.doc_tokens(places, doc_id, col)
+            toks = search.doc_tokens(places, doc_id, col, stem_roots=stem_roots)
             postings = search.build_postings(toks).persist()
             stats = search.doc_stats(toks).persist()
             avgdl = stats.agg(F.avg("dl")).collect()[0][0] or 1.0
@@ -194,8 +309,13 @@ def freeform_search(
     index: "BM25FIndex | None" = None,
 ) -> DataFrame:
     """FreeFormQuery (searcher.go:150-246): spell-correct -> BM25F ->
-    stable top-k page -> fetch docs (broadcast join against places)."""
-    corrected = correct_query(spark, query, term_dict, counts, top=1)[0]
+    stable top-k page -> fetch docs (broadcast join against places).
+    With a stemmed index, query tokens stem through the same dictionary
+    (searcher.go:158)."""
+    roots = index.stem_roots if index is not None else None
+    corrected = correct_query(
+        spark, query, term_dict, counts, top=1, stem_roots=roots
+    )[0]
     scores = bm25f_scores(places, corrected, index=index)
     w = Window.orderBy(F.desc("score"), F.col("doc_id"))
     top = (
@@ -224,7 +344,8 @@ def autocomplete(
     if index is None:
         index = BM25FIndex(places)
     interps = correct_query(
-        spark, query, term_dict, counts, top=3, prefix_last=True
+        spark, query, term_dict, counts, top=3, prefix_last=True,
+        stem_roots=index.stem_roots,
     )
     results = None
     for qi, terms in enumerate(interps):
@@ -234,7 +355,7 @@ def autocomplete(
             places.select(
                 "id", F.concat_ws(" ", "name", "address").alias("text")
             ),
-            doc_id="id", text="text",
+            doc_id="id", text="text", stem_roots=index.stem_roots,
         )
         have_all = (
             toks.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))

@@ -221,6 +221,35 @@ def build_places(
             .withColumnRenamed("point_id", "id")
         )
         docs = docs.join(admin_names, "id", "left")
+
+        # postal-code fallback: a doc without addr:postcode inherits the
+        # code of its FINEST enclosing relation that carries one (the
+        # kelurahan rule, indexer.go:1053-1055,1146-1148)
+        if "postal_code" in admin_polygons.columns:
+            pc_dim = admin_polygons.select("polygon_id", "postal_code")
+            rel_pc = (
+                matched.join(F.broadcast(pc_dim), "polygon_id")
+                .filter(
+                    F.col("postal_code").isNotNull() & (F.col("postal_code") != "")
+                )
+                .groupBy("point_id")
+                .agg(F.max(F.struct("admin_level", "postal_code")).alias("b"))
+                .select(
+                    F.col("point_id").alias("id"),
+                    F.col("b.postal_code").alias("rel_postcode"),
+                )
+            )
+            docs = (
+                docs.join(rel_pc, "id", "left")
+                .withColumn(
+                    "postcode",
+                    F.when(
+                        F.col("postcode") == "",
+                        F.coalesce("rel_postcode", F.lit("")),
+                    ).otherwise(F.col("postcode")),
+                )
+                .drop("rel_postcode")
+            )
     else:
         docs = docs.withColumn("admin_suffix", F.lit(None).cast("string"))
 

@@ -71,3 +71,20 @@ def test_autocomplete_kebun_binatang_ra(spark, corpus):
     places, td, counts = corpus
     res = spell.autocomplete(spark, places, td, counts, "kebun binatang ra", k=5)
     assert res.collect()[0]["name"] == "Kebun Binatang Ragunan"
+
+
+def test_batch_correct_matches_per_query(spark, corpus):
+    # the batched path must agree with correct_query(top=1) per query
+    places, td, counts = corpus
+    queries = [
+        "dunia fantasi",          # all in-vocab, single candidate
+        "duniu fsntaso",          # two 2-edit misspellings
+        "kebun bibatqng raginan", # three tokens, one clean
+        "monumen nasional",
+        "zzzyx qwqwq",            # no candidates at all -> passthrough
+    ]
+    batch = spell.batch_correct_queries(spark, queries, td, counts)
+    loop = [spell.correct_query(spark, q, td, counts, top=1)[0] for q in queries]
+    assert batch == loop
+    assert batch[1] == ["dunia", "fantasi"]
+    assert batch[4] == ["zzzyx", "qwqwq"]

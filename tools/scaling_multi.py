@@ -43,10 +43,12 @@ if %(kind)r == "text":
         return search.batch_bm25_search(docs, queries, k=15).select(
             "query_id", "doc_id", F.round("score", 6).alias("s"))
     run().limit(100).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    agg = run().agg(F.count("*").alias("rows"),
-                    F.bit_xor(F.xxhash64("query_id", "doc_id", "s")).alias("ck")).collect()[0]
-    sec = time.perf_counter() - t0
+    sec = float("inf")
+    for _ in range(2):  # best-of-2: 2-3x run-to-run host contention on this VM
+        t0 = time.perf_counter()
+        agg = run().agg(F.count("*").alias("rows"),
+                        F.bit_xor(F.xxhash64("query_id", "doc_id", "s")).alias("ck")).collect()[0]
+        sec = min(sec, time.perf_counter() - t0)
 else:
     from osm_search_spark.operators import image_ops
     from osm_search_spark.sources import images as img_src
@@ -54,10 +56,12 @@ else:
     def run():
         return image_ops.verify_phash(imgs)
     run().limit(50).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    agg = run().agg(F.count("*").alias("rows"),
-                    F.bit_xor(F.xxhash64("image_id", "phash_recomputed", "hamming")).alias("ck")).collect()[0]
-    sec = time.perf_counter() - t0
+    sec = float("inf")
+    for _ in range(2):  # best-of-2, same protocol as the text workload
+        t0 = time.perf_counter()
+        agg = run().agg(F.count("*").alias("rows"),
+                        F.bit_xor(F.xxhash64("image_id", "phash_recomputed", "hamming")).alias("ck")).collect()[0]
+        sec = min(sec, time.perf_counter() - t0)
 
 print(json.dumps(dict(cpus=cpus, rows=agg["rows"], sec=round(sec, 3),
                       rows_per_sec=round(agg["rows"] / sec, 1),
