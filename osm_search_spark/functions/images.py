@@ -101,17 +101,24 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt in ("png", "qpng"):
         return png_decode(data)
     if fmt in ("jpeg", "jpg"):
-        try:  # pragma: no cover - jpeg lib not present in this container
-            from PIL import Image  # noqa: F401
+        try:  # pragma: no cover - prefer libjpeg when present
             import io
 
+            from PIL import Image  # noqa: F401
+
             return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-        except ImportError as ex:
-            raise NotImplementedError(
-                "true JPEG decode requires PIL; synthesis uses 'qpng' as the "
-                "deterministic lossy stand-in"
-            ) from ex
+        except ImportError:
+            from .jpeg import jpeg_decode  # pure-numpy baseline decoder
+
+            return jpeg_decode(data)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 95) -> bytes:
+    """Baseline JFIF encode (functions/jpeg.py) — real lossy JPEG bytes."""
+    from .jpeg import jpeg_encode as _enc
+
+    return _enc(pixels, quality)
 
 
 # --- perceptual hash ---------------------------------------------------------

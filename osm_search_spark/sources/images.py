@@ -27,7 +27,9 @@ from ..functions import images as I
 
 SEED = 42
 SIZES = (32, 64, 128)
-FMTS = ("png", "qpng")  # qpng = deterministic lossy stand-in for jpeg
+# png lossless; qpng = quantized-PNG lossy; jpeg = REAL baseline JFIF
+# (functions/jpeg.py pure-numpy codec — no PIL in this container)
+FMTS = ("png", "qpng", "jpeg")
 LAT0, LAT1 = -6.107481038495567, -5.995288834299442
 LON0, LON1 = 106.13128828884481, 107.0509652831274
 
@@ -56,8 +58,15 @@ def make_row(i: int) -> dict:
     pixels = (
         (base + noise)[..., None] + chan_shift[None, None, :]
     ).clip(0, 255).astype(np.uint8)
-    fmt = FMTS[i % 2]
-    data = I.png_encode(pixels) if fmt == "png" else I.qpng_encode(pixels)
+    fmt = FMTS[i % len(FMTS)]
+    if fmt == "png":
+        data = I.png_encode(pixels)
+    elif fmt == "qpng":
+        data = I.qpng_encode(pixels)
+    else:
+        # quality 97 keeps the noisy synthetic pixels comfortably above the
+        # PSNR>=40dB decode invariant (the codec default 95 sits at ~40.0)
+        data = I.jpeg_encode(pixels, quality=97)
     # phash of the DECODED pixels (what a consumer can verify)
     ph = I.phash64(I.decode(data, fmt))
     caption = CAPTION_VOCAB[i % len(CAPTION_VOCAB)] + f" foto {i}"

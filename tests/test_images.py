@@ -82,3 +82,35 @@ def test_resize_thumbnail(spark):
     for t in th:
         px = I.png_decode(bytes(t["thumb"]))
         assert px.shape == (8, 8, 3)
+
+
+def test_jpeg_roundtrip_psnr():
+    # real baseline JFIF codec (functions/jpeg.py) — closes the round-1
+    # "JPEG gated stub" gap; no PIL in this container
+    import numpy as np
+
+    from osm_search_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (41, 67, 3), dtype=np.uint8)
+    data = J.jpeg_encode(px, quality=95)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec = J.jpeg_decode(data)
+    assert dec.shape == px.shape
+    assert I.psnr(px, dec) >= 30.0  # pure noise is JPEG's worst case
+    smooth = np.tile(np.linspace(0, 255, 67, dtype=np.uint8), (41, 1))
+    smooth = np.stack([smooth] * 3, axis=-1)
+    assert I.psnr(smooth, J.jpeg_decode(J.jpeg_encode(smooth, 95))) >= 45.0
+
+
+def test_jpeg_grayscale_and_errors():
+    import numpy as np
+    import pytest as _pt
+
+    from osm_search_spark.functions import jpeg as J
+
+    with _pt.raises(ValueError):
+        J.jpeg_decode(b"not a jpeg")
+    # decode dispatch: fmt='jpeg' routes through the baseline decoder
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    assert I.psnr(px, I.decode(J.jpeg_encode(px), "jpeg")) >= 50.0
