@@ -322,6 +322,62 @@ def sql_minhash() -> str:
     return dedup.minhash_sql("documents")
 
 
+# Q12b: LSH band candidate pairs from the MinHash signatures — the scale
+# path of near-dup detection (band-bucket self-join, never all-pairs)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+def sql_lsh_pairs() -> str:
+    return f"""
+with sigs as ({dedup.minhash_sql('documents')}),
+b1 as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sigs a join sigs b
+    on a.h0 = b.h0 and a.h1 = b.h1 and a.doc_id < b.doc_id
+),
+b2 as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sigs a join sigs b
+    on a.h2 = b.h2 and a.h3 = b.h3 and a.doc_id < b.doc_id
+)
+select doc_a, doc_b from (select * from b1 union select * from b2)
+"""
+
+
+# Q12c: exact n-gram Jaccard near-dup pairs (token trigram sets; gram
+# self-join, never a cross join)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_jaccard_pairs() -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    tri = (
+        "list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] "
+        "for i in generate_series(1, len(tokens) - 2)])"
+    )
+    return f"""
+with t as (select doc_id, {toks} as tokens from documents),
+g as (select doc_id, unnest({tri.replace('tokens', 'tokens')}) as gram from t),
+sizes as (select doc_id, count(*) as n_grams from g group by doc_id),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+  from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select doc_a, doc_b, round(jv, 6) as jaccard from (
+  select doc_a, doc_b,
+         cast(n_inter as double) / (sa.n_grams + sb.n_grams - n_inter) as jv
+  from inter
+  join sizes sa on sa.doc_id = doc_a
+  join sizes sb on sb.doc_id = doc_b
+) where jv >= 0.2
+"""
+
+
 # Q13: brute-force cosine top-k over embeddings
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -1141,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_bigrams,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "quality_features": q_quality,
         "events_running_sum": q_events_running,
@@ -1181,6 +1239,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": sql_bigrams(),
         "exact_dedup": sql_exact_dedup(),
         "minhash_signatures": sql_minhash(),
+        "lsh_candidate_pairs": sql_lsh_pairs(),
+        "jaccard_pairs": sql_jaccard_pairs(),
         "embedding_topk": sql_embedding_topk(),
         "quality_features": sql_quality(),
         "events_running_sum": sql_events_running(),

@@ -77,9 +77,11 @@ def png_decode(data: bytes) -> np.ndarray:
         f = filters[y]
         if f == 0:
             pass
-        elif f == 1:  # Sub
-            for x in range(3, line.shape[0]):
-                line[x] = (line[x] + line[x - 3]) & 0xFF
+        elif f == 1:  # Sub: out[x] = raw[x] + out[x-3] == running sum mod 256
+            line = (
+                np.cumsum(line.reshape(-1, 3).astype(np.int64), axis=0)
+                .reshape(-1) & 0xFF
+            ).astype(np.int16)
         elif f == 2:  # Up
             if y > 0:
                 line = (line + out[y - 1]) & 0xFF

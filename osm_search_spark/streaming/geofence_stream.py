@@ -35,53 +35,59 @@ def _status_rows(
     fences: list[tuple[str, float, float, float]],
     prev: tuple[float, float] | None,
 ) -> tuple[list[dict], tuple[float, float] | None]:
-    """Apply the transition matrix over one entity's ordered points."""
-    out = []
-    for _, r in pdf.sort_values("seq").iterrows():
-        la, lo = float(r["lat"]), float(r["lon"])
-        for fname, fla, flo, rad in fences:
-            now_in = float(haversine_km_np(la, lo, fla, flo)) <= rad
-            prev_in = (
-                float(haversine_km_np(prev[0], prev[1], fla, flo)) <= rad
-                if prev is not None
-                else False
-            )
-            if prev_in and now_in:
-                status = "INSIDE"
-            elif not prev_in and now_in:
-                status = "ENTER"
-            elif prev_in and not now_in:
-                status = "EXIT"
-            else:
-                status = _cross_or_outside(prev, la, lo, fla, flo, rad)
-            out.append(
-                dict(query_point_id=entity, seq=int(r["seq"]), fence_name=fname, status=status)
-            )
-        prev = (la, lo)
-    return out, prev
-
-
-def _cross_or_outside(prev, la, lo, fla, flo, rad) -> str:
+    """Transition matrix over one entity's ordered points — VECTORIZED
+    across points per fence (the prev point of row i is row i-1, so the
+    whole batch evaluates as shifted arrays; no per-row Python)."""
+    pdf = pdf.sort_values("seq")
+    la = pdf["lat"].to_numpy(np.float64)
+    lo = pdf["lon"].to_numpy(np.float64)
+    seq = pdf["seq"].to_numpy()
+    n = len(la)
+    if n == 0:
+        return [], prev
+    has_prev = np.ones(n, dtype=bool)
+    pla = np.concatenate(([prev[0] if prev else 0.0], la[:-1]))
+    plo = np.concatenate(([prev[1] if prev else 0.0], lo[:-1]))
     if prev is None:
-        return "OUTSIDE"
-    # circle.go:54-96 segment-circle test in the fence tangent plane
+        has_prev[0] = False
+
+    out: list[dict] = []
+    frames = []
+    for fname, fla, flo, rad in fences:
+        now_in = haversine_km_np(la, lo, fla, flo) <= rad
+        prev_in = (haversine_km_np(pla, plo, fla, flo) <= rad) & has_prev
+        crosses = _segment_crosses_np(pla, plo, la, lo, fla, flo, rad) & has_prev
+        status = np.select(
+            [prev_in & now_in, ~prev_in & now_in, prev_in & ~now_in, crosses],
+            ["INSIDE", "ENTER", "EXIT", "CROSS"],
+            default="OUTSIDE",
+        )
+        frames.append(pd.DataFrame(dict(
+            query_point_id=entity, seq=seq, fence_name=fname, status=status
+        )))
+    merged = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    out = merged.to_dict("records")
+    return out, (float(la[-1]), float(lo[-1]))
+
+
+def _segment_crosses_np(pla, plo, la, lo, fla, flo, rad) -> np.ndarray:
+    """circle.go:54-96 segment-circle test, vectorized over points."""
     coslat = np.cos(np.radians(fla))
-    ax = (np.radians(prev[1]) - np.radians(flo)) * coslat * 6371.0
-    ay = (np.radians(prev[0]) - np.radians(fla)) * 6371.0
+    ax = (np.radians(plo) - np.radians(flo)) * coslat * 6371.0
+    ay = (np.radians(pla) - np.radians(fla)) * 6371.0
     bx = (np.radians(lo) - np.radians(flo)) * coslat * 6371.0
     by = (np.radians(la) - np.radians(fla)) * 6371.0
     dx, dy = bx - ax, by - ay
     a = dx * dx + dy * dy
-    if a <= 0:
-        return "OUTSIDE"
     b = 2.0 * (ax * dx + ay * dy)
     c = ax * ax + ay * ay - rad * rad
     disc = b * b - 4 * a * c
-    if disc < 0:
-        return "OUTSIDE"
-    sq = float(np.sqrt(disc))
-    t1, t2 = (-b - sq) / (2 * a), (-b + sq) / (2 * a)
-    return "CROSS" if (0.0 <= t1 <= 1.0 or 0.0 <= t2 <= 1.0) else "OUTSIDE"
+    ok = (a > 0) & (disc >= 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sq = np.sqrt(np.where(disc >= 0, disc, 0.0))
+        t1 = np.where(ok, (-b - sq) / (2 * a), np.inf)
+        t2 = np.where(ok, (-b + sq) / (2 * a), np.inf)
+    return ok & (((t1 >= 0) & (t1 <= 1)) | ((t2 >= 0) & (t2 <= 1)))
 
 
 def geofence_stream(
