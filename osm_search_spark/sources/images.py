@@ -94,8 +94,11 @@ def expected_pixels(i: int) -> np.ndarray:
 
 
 def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """Distributed synthesis: spark.range -> mapInPandas(make_row)."""
-    ids = spark.range(0, n, 1, partitions or max(2, n // 5000))
+    """Distributed synthesis: spark.range -> mapInPandas(make_row).
+
+    Default partitioning targets ~16 rows per task so the Python codec
+    work (zlib + jpeg) spreads across all cores even for small n."""
+    ids = spark.range(0, n, 1, partitions or max(4, min(64, n // 16)))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -36,6 +36,43 @@ def test_frame_sample_plumbing_schema(spark):
     assert [f.name for f in out.schema.fields] == ["media_id", "frame_idx", "frame_png"]
 
 
+def test_ima_adpcm_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    t = np.arange(4000)
+    pcm = (np.sin(2 * np.pi * 300 * t / 16000.0) * 20000
+           + rng.uniform(-500, 500, 4000)).astype(np.int16)
+    dec = media.ima_adpcm_decode(media.ima_adpcm_encode(pcm)) * 32767.0
+    ref = pcm.astype(np.float64)
+    snr = 10 * np.log10(np.mean(ref**2) / np.mean((ref - dec) ** 2))
+    assert snr >= 20.0, snr  # 4-bit ADPCM on a noisy sine
+
+
+def test_audio_features_mixed_formats(spark):
+    # audio_table alternates pcm16 / ima_adpcm; both decode for real and
+    # produce near-identical features for the same source clip
+    import numpy as np
+
+    df = media.audio_table(spark, 8)
+    fmts = {r["media_id"]: r["fmt"] for r in df.select("media_id", "fmt").collect()}
+    assert set(fmts.values()) == {"pcm16", "ima_adpcm"}
+    feats = {r["media_id"]: r["rms"] for r in media.audio_features(df).collect()}
+    assert len(feats) == 8 and all(v > 0.1 for v in feats.values())
+
+
+def test_mjpeg_frame_sample_real_decode(spark):
+    from osm_search_spark.functions import images as I
+
+    video = media.video_table(spark, 3, n_frames=6, size=32)
+    out = media.frame_sample(video, every_n=2).collect()
+    # 3 clips x frames {0, 2, 4}
+    assert len(out) == 9
+    assert sorted({r["frame_idx"] for r in out}) == [0, 2, 4]
+    px = I.png_decode(bytes(out[0]["frame_png"]))
+    assert px.shape == (32, 32, 3)
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     src = tmp_path / "ev"
     src.mkdir()
