@@ -88,15 +88,33 @@ def minhash_sql(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: tuple[tuple[str, ...], ...] = (("h0", "h1"), ("h2", "h3"))
+    signatures: DataFrame,
+    bands: tuple[tuple[str, ...], ...] = (("h0", "h1"), ("h2", "h3")),
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs: docs sharing any full band.
-    Self-join per band on the band key; dedup across bands."""
+    Self-join per band on the band key; dedup across bands.
+
+    max_bucket_size: skew guard for web corpora — a band bucket of m docs
+    emits m^2/2 pairs, and boilerplate-heavy corpora have mega-buckets that
+    are near-useless as dedup candidates. Setting a cap EXCLUDES buckets
+    larger than the cap from the self-join (the standard practice; not a
+    silent truncation — excluded buckets are by definition all-pairs
+    near-dup groups and should be handled by exact_dedup/cluster-level
+    logic instead). None (default) keeps every bucket."""
     pairs = None
     for band in bands:
         keyed = signatures.select(
             "doc_id", F.concat_ws("|", *band).alias("band_key")
         )
+        if max_bucket_size is not None:
+            ok = (
+                keyed.groupBy("band_key")
+                .count()
+                .filter(F.col("count") <= max_bucket_size)
+                .select("band_key")
+            )
+            keyed = keyed.join(ok, "band_key", "leftsemi")
         p = (
             keyed.alias("a")
             .join(keyed.alias("b"), "band_key")

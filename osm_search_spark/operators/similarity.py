@@ -140,6 +140,103 @@ def embedding_near_dup_pairs(
     )
 
 
+def _centroid_sims(vec, cent):
+    """[(cluster_idx, cosine-to-centroid Column)] with centroids as
+    broadcast literal arrays — pure Column arithmetic, no UDF."""
+    return [
+        (ci, _dot(vec, F.array(*[F.lit(float(v)) for v in c]))
+         / (_norm(vec) + F.lit(1e-12)))
+        for ci, c in enumerate(cent)
+    ]
+
+
+def _argmax_cluster(vec, cent):
+    sims = _centroid_sims(vec, cent)
+    expr = F.lit(0)
+    best = sims[0][1]
+    for ci, s in sims[1:]:
+        expr = F.when(s > best, ci).otherwise(expr)
+        best = F.greatest(best, s)
+    return expr
+
+
+def _top_clusters(vec, cent, n_probe: int):
+    sims = _centroid_sims(vec, cent)
+    arr = F.array(*[F.struct(s.alias("s"), F.lit(ci).alias("c")) for ci, s in sims])
+    return F.slice(F.reverse(F.array_sort(arr)), 1, n_probe).getField("c")
+
+
+def kmeans_train_sample(
+    corpus: DataFrame, n_centroids: int, corpus_vec: str = "embedding",
+    seed: int = 42, sample: int = 2048, iters: int = 8,
+):
+    """Mini-kmeans over a bounded seeded sample (driver-side, O(sample)).
+    Fine when cluster structure is visible in a sample; see
+    kmeans_train_distributed for the full-corpus trainer."""
+    import numpy as np
+
+    rows = corpus.select(corpus_vec).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = x[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) + 1e-12)
+    return cent
+
+
+def kmeans_train_distributed(
+    corpus: DataFrame, n_centroids: int, corpus_vec: str = "embedding",
+    corpus_id: str = "vec_id", iters: int = 3, seed: int = 42,
+):
+    """Spherical Lloyd iterations over the FULL corpus — no fixed-size
+    driver sample (the round-1 honest caveat). Each iteration:
+
+      assign: distributed argmax over broadcast centroid literals (the
+        same pure-Column kernel the query path uses);
+      update: posexplode(vec) -> groupBy(cluster, dim).sum — one shuffle
+        of k x dim partial sums; only the k x dim centroid matrix is ever
+        collected (tiny, independent of corpus size).
+
+    Init is kmeans-sample over a bounded seed set for stable starting
+    points; every subsequent pass is corpus-wide.
+    """
+    import numpy as np
+
+    cent = kmeans_train_sample(
+        corpus, n_centroids, corpus_vec, seed=seed,
+        sample=max(8 * n_centroids, 256), iters=2,
+    )
+    for _ in range(iters):
+        assigned = corpus.select(
+            _argmax_cluster(F.col(corpus_vec), cent).alias("cluster_id"),
+            (F.col(corpus_vec)),
+        )
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode(corpus_vec).alias("pos", "v")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"))
+            .collect()
+        )
+        new = np.array(cent, dtype=np.float64)
+        acc = np.zeros_like(new)
+        seen = np.zeros(len(cent), dtype=bool)
+        for r in sums:
+            acc[r["cluster_id"], r["pos"]] = r["s"]
+            seen[r["cluster_id"]] = True
+        norms = np.linalg.norm(acc, axis=1, keepdims=True) + 1e-12
+        new[seen] = (acc / norms)[seen]
+        cent = new
+    return cent
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -153,56 +250,32 @@ def ivf_topk(
     seed: int = 42,
     sample: int = 2048,
     kmeans_iters: int = 8,
+    train: str = "sample",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their nearest
     centroid (inverted lists = a cluster_id column); each probe searches
     only its n_probe nearest centroids' lists with exact cosine re-rank.
 
-    Centroids come from deterministic mini-kmeans over a seeded driver
-    sample — training is O(sample); ASSIGNMENT is a distributed argmin over
-    broadcast centroid literals (pure Column arithmetic, no UDF).
+    train="sample" (bounded driver mini-kmeans) or "distributed"
+    (full-corpus Lloyd iterations, kmeans_train_distributed). ASSIGNMENT is
+    always a distributed argmin over broadcast centroid literals (pure
+    Column arithmetic, no UDF).
     """
-    import numpy as np
+    if train == "distributed":
+        cent = kmeans_train_distributed(
+            corpus, n_centroids, corpus_vec, corpus_id, seed=seed
+        )
+    else:
+        cent = kmeans_train_sample(
+            corpus, n_centroids, corpus_vec, seed=seed,
+            sample=sample, iters=kmeans_iters,
+        )
 
-    rows = corpus.select(corpus_vec).limit(sample).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = x[assign == c]
-            if len(m):
-                v = m.mean(axis=0)
-                cent[c] = v / (np.linalg.norm(v) + 1e-12)
-
-    def centroid_sims(vec):
-        return [
-            (ci, _dot(vec, F.array(*[F.lit(float(v)) for v in c]))
-             / (_norm(vec) + F.lit(1e-12)))
-            for ci, c in enumerate(cent)
-        ]
-
-    def argmax_cluster(vec):
-        sims = centroid_sims(vec)
-        expr = F.lit(0)
-        best = sims[0][1]
-        for ci, s in sims[1:]:
-            expr = F.when(s > best, ci).otherwise(expr)
-            best = F.greatest(best, s)
-        return expr
-
-    c_assigned = corpus.withColumn("cluster_id", argmax_cluster(F.col(corpus_vec)))
-
-    # probe side: top n_probe clusters as an array -> explode
-    def top_clusters(vec):
-        sims = centroid_sims(vec)
-        arr = F.array(*[F.struct(s.alias("s"), F.lit(ci).alias("c")) for ci, s in sims])
-        return F.slice(F.reverse(F.array_sort(arr)), 1, n_probe).getField("c")
-
+    c_assigned = corpus.withColumn(
+        "cluster_id", _argmax_cluster(F.col(corpus_vec), cent)
+    )
     p_assigned = probes.withColumn(
-        "cluster_id", F.explode(top_clusters(F.col(probe_vec)))
+        "cluster_id", F.explode(_top_clusters(F.col(probe_vec), cent, n_probe))
     )
     j = c_assigned.join(p_assigned, "cluster_id").filter(
         F.col(probe_id) != F.col(corpus_id)

@@ -138,3 +138,39 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     ap = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_lsh_bucket_size_cap(spark):
+    # docs 0..9 identical (mega-bucket), 10/11 a small near-dup pair
+    rows = [(i, "the same boilerplate text everywhere") for i in range(10)]
+    rows += [(10, "unique sentence alpha beta"), (11, "unique sentence alpha betz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs)
+    uncapped = dedup.lsh_candidate_pairs(sigs).count()
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert uncapped >= 45  # the 10-doc bucket alone is 45 pairs
+    assert all(a >= 10 for a, _ in got)  # mega-bucket excluded
+
+
+def test_ivf_distributed_training_recall(spark):
+    import numpy as np
+
+    from osm_search_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(probes, emb, k=10).collect()
+    }
+    approx = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.ivf_topk(
+            probes, emb, k=10, n_centroids=8, n_probe=4, train="distributed"
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall

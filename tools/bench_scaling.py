@@ -72,8 +72,17 @@ local[{4*n}] is {hi['rows_per_sec']:,} rows/sec on synthetic data of the
 same shape.
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # preserve everything after the headline section (other workloads'
+    # evidence is appended by hand / other tools)
+    path = f"{REPO}/BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(json.dumps(dict(n=lo, n4=hi, efficiency=round(eff, 3))))
 
 

@@ -78,13 +78,15 @@ def main() -> None:
     # warmup (JIT, parquet footers, broadcast) — small slice
     run().limit(1000).write.format("noop").mode("overwrite").save()
 
-    t0 = time.perf_counter()
-    out = run()
-    agg = out.agg(
-        F.count("*").alias("rows"),
-        F.bit_xor(F.xxhash64("point_id", "polygon_id", "tile_id")).alias("checksum"),
-    ).collect()[0]
-    sec = time.perf_counter() - t0
+    sec = float("inf")
+    for _ in range(2):  # best-of-2: 2-3x run-to-run host contention
+        t0 = time.perf_counter()
+        out = run()
+        agg = out.agg(
+            F.count("*").alias("rows"),
+            F.bit_xor(F.xxhash64("point_id", "polygon_id", "tile_id")).alias("checksum"),
+        ).collect()[0]
+        sec = min(sec, time.perf_counter() - t0)
     print(
         json.dumps(
             dict(
