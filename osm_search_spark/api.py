@@ -34,13 +34,20 @@ VALID_QUERY = re.compile(r"^[A-Za-z0-9_ +,.()]+$")
 
 
 class SparkSearcher:
-    def __init__(self, spark: SparkSession, index_base: str):
+    def __init__(
+        self, spark: SparkSession, index_base: str,
+        stem_roots: "frozenset | None" = None,
+    ):
+        """stem_roots: enable Indonesian confix-stripping on both the index
+        and query sides, like the reference's always-on sastrawi stemming
+        (pkg/util.go:12-14; functions/stemmer.DEFAULT_ROOTS gives the
+        bundled dictionary, or pass your own root set)."""
         self.spark = spark
         self.places = spark.read.parquet(f"{index_base}/places").cache()
         self.term_dict = spark.read.parquet(f"{index_base}/term_dict").cache()
         self.ngram_counts = spark.read.parquet(f"{index_base}/ngram_counts").cache()
         # load-once index (Searcher.LoadMainIndex, searcher.go:84-133)
-        self.index = BM25FIndex(self.places)
+        self.index = BM25FIndex(self.places, stem_roots=stem_roots)
 
     def _validate(self, query: str) -> None:
         if not query:
