@@ -76,3 +76,43 @@ def test_cell_center_inside(spark):
     minlat, minlon, maxlat, maxlon = C.np_cell_bounds(np.array([row["c"]]))
     assert minlat[0] <= row["ctr"]["lat"] <= maxlat[0]
     assert minlon[0] <= row["ctr"]["lon"] <= maxlon[0]
+
+
+def test_annulus_union_covers_square_exactly(spark):
+    """Load-bearing kNN invariant: after rounds at radii 1, 4, 16, 64 (x4
+    growth, coarse-parent escalation), the union of the explored coarse
+    cells' BASE cells must cover every base cell within Chebyshev distance
+    of the final radius — the finalization bound is only sound if coverage
+    is complete."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.knn import _coarse_scale
+
+    res = 14
+    pix, piy = 16100, 8050
+    one = spark.createDataFrame([(pix, piy)], "pix long, piy long")
+    covered = set()
+    r_prev = -1
+    for r in (1, 4, 16, 64):
+        e = _coarse_scale(r)
+        ids = one.select(
+            C.annulus_cells(F.col("pix"), F.col("piy"), r, r_prev, e, res).alias("a")
+        ).collect()[0]["a"]
+        rc = res - e
+        for cid in ids:
+            cix = (cid % C.RES_BITS_SHIFT) // C.IX_SHIFT
+            ciy = cid % C.IX_SHIFT
+            for bx in range(cix << e, ((cix + 1) << e)):
+                for by in range(ciy << e, ((ciy + 1) << e)):
+                    covered.add((bx, by))
+        r_prev = r
+    R = 64
+    want = {
+        (x, y)
+        for x in range(pix - R, pix + R + 1)
+        for y in range(piy - R, piy + R + 1)
+    }
+    missing = want - covered
+    assert not missing, f"{len(missing)} base cells uncovered, e.g. {sorted(missing)[:5]}"

@@ -101,3 +101,34 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
         q.stop()
     assert got[("2026-01-01 10:00:00", "click")] == (2, 3.0)
     assert got[("2026-01-01 10:10:00", "view")] == (1, 5.0)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    import pandas as pd
+
+    from osm_search_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame(
+        [dict(doc_id=1, text="alpha beta"), dict(doc_id=2, text="gamma")]
+    ).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        [dict(doc_id=3, text="alpha beta"),  # cross-file duplicate
+         dict(doc_id=4, text="delta")]
+    ).to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .parquet(str(src))
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha beta", "delta", "gamma"]  # duplicate dropped
