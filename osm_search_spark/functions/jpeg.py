@@ -283,10 +283,16 @@ def _extend(bits: int, size: int) -> int:
 # --- encoder ------------------------------------------------------------------
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 95) -> bytes:
-    """RGB uint8 (h, w, 3) -> baseline JFIF bytes (4:4:4)."""
+def jpeg_encode(pixels: np.ndarray, quality: int = 95,
+                sampling: str = "444") -> bytes:
+    """RGB uint8 (h, w, 3) -> baseline JFIF bytes.
+
+    sampling: "444" (no chroma subsampling, default) or "420" (2x2 box
+    chroma subsampling; exercises the decoder's upsampling path and is
+    what most camera JPEGs use)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
+    assert sampling in ("444", "420")
     rgb = pixels.astype(np.float64)
     y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
@@ -295,54 +301,76 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 95) -> bytes:
     qy = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
 
-    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    if sampling == "420":
+        ly, lx = 2, 2
+    else:
+        ly, lx = 1, 1
+    mcu_h, mcu_w = 8 * ly, 8 * lx
+    hp, wp = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
 
-    def blocks(chan: np.ndarray, q: np.ndarray) -> np.ndarray:
-        padded = np.pad(chan, ((0, hp - h), (0, wp - w)), mode="edge") - 128.0
-        bl = padded.reshape(hp // 8, 8, wp // 8, 8).transpose(0, 2, 1, 3)
+    def to_blocks(chan: np.ndarray, q: np.ndarray, th: int, tw: int) -> np.ndarray:
+        ch, cw = chan.shape
+        padded = np.pad(chan, ((0, th - ch), (0, tw - cw)), mode="edge") - 128.0
+        bl = padded.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ij,abjk,lk->abil", _D8, bl, _D8)
         return np.round(coef / q).astype(np.int32)
 
-    comps = [(blocks(y, qy), True), (blocks(cb, qc), False), (blocks(cr, qc), False)]
+    y_blocks = to_blocks(y, qy, hp, wp)
+    if sampling == "420":
+        cbp = np.pad(cb, ((0, hp - h), (0, wp - w)), mode="edge")
+        crp = np.pad(cr, ((0, hp - h), (0, wp - w)), mode="edge")
+        cb_s = cbp.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        cr_s = crp.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        cb_blocks = to_blocks(cb_s, qc, hp // 2, wp // 2)
+        cr_blocks = to_blocks(cr_s, qc, hp // 2, wp // 2)
+    else:
+        cb_blocks = to_blocks(cb, qc, hp, wp)
+        cr_blocks = to_blocks(cr, qc, hp, wp)
 
     dc_l, ac_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS), _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c, ac_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS), _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     bw = _BitWriter()
-    pred = [0, 0, 0]
-    nby, nbx = hp // 8, wp // 8
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, (coef, is_luma) in enumerate(comps):
-                dct, act = (dc_l, ac_l) if is_luma else (dc_c, ac_c)
-                zz = coef[by, bx].flatten()[ZIGZAG]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, mag = _magnitude(diff)
-                code, ln = dct[size]
+
+    def emit_block(zz, pred_i, dct, act, pred):
+        diff = int(zz[0]) - pred[pred_i]
+        pred[pred_i] = int(zz[0])
+        size, mag = _magnitude(diff)
+        code, ln = dct[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(mag, size)
+        run = 0
+        last_nz = max(np.nonzero(zz)[0]) if np.any(zz[1:]) else 0
+        for i in range(1, 64):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]  # ZRL
                 bw.write(code, ln)
-                if size:
-                    bw.write(mag, size)
-                run = 0
-                last_nz = max(np.nonzero(zz)[0]) if np.any(zz[1:]) else 0
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = act[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    size, mag = _magnitude(v)
-                    code, ln = act[(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(mag, size)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = act[0x00]  # EOB
-                    bw.write(code, ln)
+                run -= 16
+            size, mag = _magnitude(v)
+            code, ln = act[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(mag, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = act[0x00]  # EOB
+            bw.write(code, ln)
+
+    pred = [0, 0, 0]
+    for my in range(hp // mcu_h):
+        for mx in range(wp // mcu_w):
+            for vy in range(ly):
+                for vx in range(lx):
+                    zz = y_blocks[my * ly + vy, mx * lx + vx].flatten()[ZIGZAG]
+                    emit_block(zz, 0, dc_l, ac_l, pred)
+            emit_block(cb_blocks[my, mx].flatten()[ZIGZAG], 1, dc_c, ac_c, pred)
+            emit_block(cr_blocks[my, mx].flatten()[ZIGZAG], 2, dc_c, ac_c, pred)
     entropy = bw.flush()
+    y_hv = (ly << 4) | lx
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -354,7 +382,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 95) -> bytes:
         return seg(0xFFC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
 
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
-              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+              + bytes([1, y_hv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
     return (

@@ -114,3 +114,24 @@ def test_jpeg_grayscale_and_errors():
     # decode dispatch: fmt='jpeg' routes through the baseline decoder
     px = np.full((16, 16, 3), 200, dtype=np.uint8)
     assert I.psnr(px, I.decode(J.jpeg_encode(px), "jpeg")) >= 50.0
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    # exercises the decoder's 4:2:0 MCU interleave + box upsampling path
+    import numpy as np
+
+    from osm_search_spark.functions import jpeg as J
+
+    h, w = 45, 61
+    gy = np.linspace(0, 200, h)[:, None] * np.ones((1, w))
+    gx = np.linspace(0, 200, w)[None, :] * np.ones((h, 1))
+    px = np.stack([gy + gx * 0.3, gx, 255 - gy], axis=-1).clip(0, 255).astype(np.uint8)
+    data = J.jpeg_encode(px, quality=92, sampling="420")
+    dec = J.jpeg_decode(data)
+    assert dec.shape == px.shape
+    assert I.psnr(px, dec) >= 38.0
+    # 4:2:0 must be smaller than 4:4:4 at the same quality
+    assert len(data) < len(J.jpeg_encode(px, quality=92, sampling="444"))
+    # constant color: subsampling is lossless up to quantization
+    flat = np.full((24, 40, 3), (90, 140, 200), dtype=np.uint8)
+    assert I.psnr(flat, J.jpeg_decode(J.jpeg_encode(flat, 92, "420"))) >= 45.0

@@ -79,3 +79,30 @@ def test_phash_deterministic(lat, lon):
 
     px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     assert I.phash64(px) == I.phash64(px.copy())
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=30))
+def test_pbf_signed_varint_roundtrip(vals):
+    from osm_search_spark.sources import pbf
+
+    buf = b"".join(pbf._w_zigzag(v) for v in vals)
+    assert pbf._packed_varints(buf, signed=True) == vals
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=30))
+def test_pbf_unsigned_varint_roundtrip(vals):
+    from osm_search_spark.sources import pbf
+
+    buf = b"".join(pbf._w_varint(v) for v in vals)
+    assert pbf._packed_varints(buf) == vals
+
+
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll",)), max_size=24))
+def test_stemmer_total_and_idempotent(word):
+    from osm_search_spark.functions.stemmer import MINIMAL_ROOTS, stem
+
+    s1 = stem(word, MINIMAL_ROOTS)
+    assert isinstance(s1, str) and len(s1) >= 1 or word == ""
+    # stemming a stem is a no-op (roots and passthroughs are fixed points)
+    if word:
+        assert stem(s1, MINIMAL_ROOTS) == s1
