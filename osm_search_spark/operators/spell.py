@@ -108,10 +108,14 @@ def correct_query(
     per_token: list[list[str]] = []
     for i, tok in enumerate(tokens):
         if prefix_last and i == len(tokens) - 1:
-            matches = sorted(
+            # bounded + deterministic: a 1-char prefix against a web-scale
+            # dictionary must not collect unboundedly (the LM can only
+            # rank so many interpretations anyway)
+            matches = [
                 r["term"]
-                for r in term_dict.filter(F.col("term").startswith(tok)).collect()
-            )
+                for r in term_dict.filter(F.col("term").startswith(tok))
+                .orderBy("term").limit(10000).collect()
+            ]
             per_token.append(matches or [tok])
         elif tok in vocab:
             per_token.append([tok])
