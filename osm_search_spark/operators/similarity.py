@@ -6,9 +6,16 @@
   share a signs-signature bucket; exact re-rank inside buckets. Hyperplanes
   are deterministic (seeded numpy) and shipped as literal arrays, so the
   plan is still pure Catalyst.
+- ivf_topk: kmeans centroids (sample or DISTRIBUTED full-corpus training)
+  + inverted lists + n_probe restriction; assignment is a broadcast-
+  literal argmin (pure Column).
+- pq_train/pq_encode/pq_topk: product quantization — 8x-32x compressed
+  codes, ADC lookup-table scan (no dot products), exact re-rank of the
+  shortlist (FAISS-style refine).
 
-At 10^12-row scale brute force is O(P·N); LSH reduces the join to bucket
-collisions. Both share the exact re-rank window.
+At 10^12-row scale brute force is O(P*N) arithmetic; LSH/IVF cut the
+candidate set, PQ cuts per-candidate cost and memory. All share the exact
+re-rank window.
 """
 
 from __future__ import annotations
@@ -235,6 +242,190 @@ def kmeans_train_distributed(
         new[seen] = (acc / norms)[seen]
         cent = new
     return cent
+
+
+# --- product quantization (PQ) ------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame, m: int = 16, k: int = 32,
+    corpus_vec: str = "embedding", seed: int = 42, sample: int = 4096,
+    iters: int = 10,
+):
+    """Train m sub-codebooks of k centroids each (L2 k-means per vector
+    subspace) — the classic PQ codebook. Codebooks are tiny (m*k*dsub
+    floats); training is a bounded driver sample (swap in
+    kmeans_train_distributed per subspace for full-corpus training)."""
+    import numpy as np
+
+    rows = corpus.select(corpus_vec).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                mcl = xs[assign == c]
+                if len(mcl):
+                    cent[c] = mcl.mean(axis=0)
+        books.append(cent)
+    return np.array(books)  # (m, k, dsub)
+
+
+def pq_encode(
+    corpus: DataFrame, codebooks, corpus_vec: str = "embedding",
+    engine: str = "arrow",
+) -> DataFrame:
+    """Add `codes` (array<int>, length m): per-subspace argmin over the
+    codebook — 8x-32x memory compression of the embedding column at 100 TB.
+
+    engine="arrow" (default): broadcast codebooks + vectorized numpy argmin
+    inside mapInPandas — scales to k=256 codewords (a Column expression
+    tree with m*k when() terms bails out of JIT; see CLAUDE.md).
+    engine="column": pure Column arithmetic, fine for small k (<= ~16)."""
+    m, k, dsub = codebooks.shape
+
+    if engine == "arrow":
+        import pandas as pd
+
+        from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+        spark = corpus.sparkSession
+        bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+        # StructType.add mutates in place — build a fresh schema
+        schema = StructType(
+            list(corpus.schema.fields)
+            + [StructField("codes", ArrayType(IntegerType()))]
+        )
+
+        def enc(batches):
+            books = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    pdf["codes"] = pd.Series([], dtype=object)
+                    yield pdf
+                    continue
+                X = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+                codes = np.empty((len(X), m), dtype=np.int32)
+                for j in range(m):
+                    xs = X[:, j * dsub : (j + 1) * dsub]
+                    # (n, k) distances via ||x||^2 - 2 x.c + ||c||^2
+                    d2 = (
+                        (xs * xs).sum(axis=1, keepdims=True)
+                        - 2.0 * xs @ books[j].T
+                        + (books[j] * books[j]).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = d2.argmin(axis=1)
+                pdf = pdf.copy()
+                pdf["codes"] = list(codes)
+                yield pdf
+
+        return corpus.mapInPandas(enc, schema=schema)
+
+    def sub_dist(vec, j, c):
+        lit = F.array(*[F.lit(float(v)) for v in codebooks[j][c]])
+        sl = F.slice(vec, j * dsub + 1, dsub)
+        return F.aggregate(
+            F.zip_with(sl, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    def argmin_code(vec, j):
+        best_d = sub_dist(vec, j, 0)
+        best_c = F.lit(0)
+        for c in range(1, k):
+            d = sub_dist(vec, j, c)
+            best_c = F.when(d < best_d, c).otherwise(best_c)
+            best_d = F.least(best_d, d)
+        return best_c
+
+    codes = F.array(*[argmin_code(F.col(corpus_vec), j) for j in range(m)])
+    return corpus.withColumn("codes", codes)
+
+
+def pq_topk(
+    probes: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks,
+    k: int,
+    probe_id: str = "probe_id",
+    probe_vec: str = "pvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    refine_factor: int = 5,
+) -> DataFrame:
+    """Approximate L2 top-k by Asymmetric Distance Computation: each probe
+    ships a flattened m*k lookup table of exact subspace distances to every
+    codeword; a corpus row's distance is m `element_at` lookups — no dot
+    product, dimension-independent scan cost, and the corpus never
+    shuffles (probe tables broadcast).
+
+    Probes are collected driver-side to build the tables — bounded by
+    design (probes are the query batch, not the corpus).
+
+    refine_factor: when > 1 and `corpus_codes` still carries the original
+    vector column, the ADC shortlist of k*refine_factor candidates is
+    re-ranked by EXACT L2 (the FAISS-style refine stage) — the shortlist
+    is tiny, so the exact math never touches the full corpus."""
+    m, kc, dsub = codebooks.shape
+    rows = probes.select(probe_id, probe_vec).collect()
+    shortlist = k * refine_factor
+    parts = []
+    for r in rows:
+        pv = np.asarray(r[probe_vec], dtype=np.float64)
+        table = [
+            float(((pv[j * dsub : (j + 1) * dsub] - codebooks[j][c]) ** 2).sum())
+            for j in range(m)
+            for c in range(kc)
+        ]
+        lut = F.array(*[F.lit(v) for v in table])
+        adc = None
+        for j in range(m):
+            term = F.element_at(lut, F.element_at("codes", j + 1) + j * kc + 1)
+            adc = term if adc is None else adc + term
+        part = corpus_codes.filter(F.col(corpus_id) != r[probe_id]).withColumns(
+            {probe_id: F.lit(r[probe_id]), "adc_dist": adc}
+        )
+        if refine_factor > 1:
+            pvec_lit = F.array(*[F.lit(float(v)) for v in pv])
+            exact = F.aggregate(
+                F.zip_with(
+                    F.col(corpus_vec), pvec_lit,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            part = part.withColumn("exact_dist", exact)
+        parts.append(
+            part.select(
+                probe_id, F.col(corpus_id).alias("neighbor_id"), "adc_dist",
+                *(["exact_dist"] if refine_factor > 1 else []),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy(probe_id).orderBy("adc_dist", "neighbor_id")
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    if refine_factor > 1:
+        w2 = Window.partitionBy(probe_id).orderBy("exact_dist", "neighbor_id")
+        return (
+            ranked.filter(F.col("rank") <= shortlist)
+            .withColumn("rank", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(probe_id, "rank", "neighbor_id",
+                    F.col("exact_dist").alias("dist"))
+        )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select(probe_id, "rank", "neighbor_id", F.col("adc_dist").alias("dist"))
+    )
 
 
 def ivf_topk(
