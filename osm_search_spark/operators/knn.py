@@ -230,7 +230,18 @@ def knn_join(
         pend_new = pend_ann.filter(~F.col("fin")).select(
             probe_id, plat, plon, "pix", "piy", "r_needed"
         )
-        if r >= ring_cap or pend_new.isEmpty():
+        hit_cap = r >= ring_cap
+        if hit_cap or pend_new.isEmpty():
+            if hit_cap:
+                # radius-mode global cap: pending probes (extreme-latitude
+                # cases whose cos-adjusted bound cannot reach radius_km)
+                # keep their accumulated within-radius top-k instead of
+                # silently losing rows
+                done_parts.append(
+                    ranked.join(finished_ids, probe_id, "leftanti").select(
+                        probe_id, "rank", obj_id, olat, olon, "dist_km"
+                    )
+                )
             carried = None
             break
         pend = pend_new

@@ -115,3 +115,25 @@ def test_knn_matches_bruteforce(spark):
         order = np.lexsort((obj["obj_id"].to_numpy(), d))
         for rank in (1, 2, 3):
             assert got[(pid, rank)] == obj["obj_id"].to_numpy()[order[rank - 1]]
+
+
+def test_radius_knn_extreme_latitude(spark):
+    # at |lat| = 85 deg cos(lat) ~ 0.087, so the per-probe radius-exhaustion
+    # bound cannot reach radius_km before the global ring cap — pending
+    # probes must still return their accumulated within-radius neighbors
+    objects = spark.createDataFrame(
+        [(i, 85.0 + i * 0.001, 10.0 + i * 0.002) for i in range(12)],
+        "obj_id long, olat double, olon double",
+    )
+    probes = _probes(spark, 85.0, 10.0)
+    res = knn_join(probes, objects, k=12, res=14, radius_km=3.0).collect()
+    from osm_search_spark.functions.geometry import haversine_km_np
+
+    import numpy as np
+
+    lat = np.array([85.0 + i * 0.001 for i in range(12)])
+    lon = np.array([10.0 + i * 0.002 for i in range(12)])
+    want = int((haversine_km_np(85.0, 10.0, lat, lon) <= 3.0).sum())
+    assert len(res) == want and want >= 5
+    for r in res:
+        assert r["dist_km"] <= 3.0
