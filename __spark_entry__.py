@@ -255,6 +255,27 @@ from documents
 """
 
 
+# Q8b: BPE-ish piece counting (GPT-2-style pre-tokenizer regex) — the
+# token-budget estimator; piece count tracks BPE token count much better
+# than whitespace words
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions.text import bpe_pieces
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(bpe_pieces("text")).cast("long").alias("n_pieces")
+    )
+
+
+def sql_bpe_token_count() -> str:
+    from osm_search_spark.functions.text import bpe_pieces_sql
+
+    return f"""
+select doc_id,
+       cast(len({bpe_pieces_sql('text')}) as bigint) as n_pieces
+from documents
+"""
+
+
 # Q9: document frequency per term
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = search.doc_tokens(_docs(spark, sf_dir))
@@ -1193,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine": q_haversine,
         "bm25_search": q_bm25,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "term_df": q_term_df,
         "bigram_counts": q_bigrams,
         "exact_dedup": q_exact_dedup,
@@ -1235,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "haversine": sql_haversine(),
         "bm25_search": sql_bm25(),
         "token_count": sql_token_count(),
+        "bpe_token_count": sql_bpe_token_count(),
         "term_df": sql_term_df(),
         "bigram_counts": sql_bigrams(),
         "exact_dedup": sql_exact_dedup(),

@@ -100,6 +100,26 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
+# GPT-2-style pre-tokenizer pieces: contractions, letter runs, digit runs,
+# punctuation runs (each optionally space-prefixed). RE2- and Java-regex
+# compatible (no lookarounds), so Spark and DuckDB split identically.
+BPE_PIECE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_pieces(text: Column | str) -> Column:
+    """Array of BPE-ish pre-tokenizer pieces — the token-budget estimator a
+    training pipeline runs over every document (piece count tracks BPE
+    token count far better than whitespace words: punctuation, digit runs
+    and contractions split out). Pure Column (regexp_extract_all)."""
+    return F.regexp_extract_all(F.lower(_col(text)), F.lit(BPE_PIECE_RE), 0)
+
+
+def bpe_pieces_sql(text: str) -> str:
+    """DuckDB twin (RE2 accepts the same pattern)."""
+    pat = BPE_PIECE_RE.replace("'", "''")
+    return f"regexp_extract_all(lower({text}), '{pat}')"
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the normalized
     token stream — stable under whitespace differences."""

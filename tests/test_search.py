@@ -120,3 +120,19 @@ def test_rolling_fingerprint_whitespace_invariant(spark):
     fp = {r["doc_id"]: r["f"] for r in df.select("doc_id", rolling_fingerprint("text").alias("f")).collect()}
     assert fp[1] == fp[2]  # case/punct/whitespace-normalized match
     assert fp[1] != fp[3]
+
+
+def test_bpe_pieces_splitting(spark):
+    from pyspark.sql import functions as F
+
+    from osm_search_spark.functions.text import bpe_pieces
+
+    rows = spark.createDataFrame(
+        [("It's 2026: state-of-the-art, v2.0!",)], "text string"
+    ).select(bpe_pieces("text").alias("p")).collect()
+    pieces = rows[0]["p"]
+    # contractions split, digit runs split from letters, punctuation runs
+    assert "'s" in pieces
+    assert " 2026" in pieces
+    assert pieces[0] == "it"
+    assert "".join(pieces) == "it's 2026: state-of-the-art, v2.0!"
