@@ -5,8 +5,10 @@ Covers the image-payload surface required by BASELINE.json input_hint:
 - PNG encode/decode: real, lossless, deterministic (zlib level pinned).
 - "qpng" (quantized PNG): a REAL lossy-but-deterministic stand-in for JPEG —
   pixel values quantized to step 6 before PNG encoding, giving PSNR ≈ 43 dB,
-  which exercises the PSNR>=40dB allclose invariant honestly. True JPEG
-  decode is stubbed (NotImplementedError) until a jpeg lib is present.
+  which exercises the PSNR>=40dB allclose invariant honestly.
+- Baseline JPEG (JFIF) encode/decode is REAL pure numpy — functions/jpeg.py
+  (ITU-T T.81 Annex K tables, 4:4:4 + 4:2:0, LUT Huffman, batched IDCT);
+  decode_image falls back to it for fmt="jpeg" rows.
 - pHash: classic 64-bit DCT perceptual hash (32x32 grayscale -> DCT-II ->
   top-left 8x8 minus DC -> median threshold).
 - PSNR for the decoded-pixel invariant.

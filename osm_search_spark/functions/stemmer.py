@@ -222,11 +222,21 @@ def stemmed_tokens(tokens_df: DataFrame,
     )
     pos = tokens_df.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
     joined = pos.join(mapping, "term", "left")
-    return (
+    stemmed = (
         joined.withColumn("w", F.coalesce("stem", "term"))
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "w")))
             .getField("w").alias("tokens")
+        )
+    )
+    # explode drops empty-token docs; left-join them back with [] so
+    # doc_stats / avgdl / doc counts match the unstemmed path exactly
+    return (
+        tokens_df.select("doc_id")
+        .join(stemmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
         )
     )

@@ -72,7 +72,10 @@ def geofence_status(
     set — candidate fences come from the same incremental cell-ring kNN
     used everywhere else (knn_join over fence centers), reproducing the
     reference's nearest-fence prefilter (geofence.go:63-95) as a join
-    strategy. The big path requires nearest_n (the reference always uses 3).
+    strategy. The big path REQUIRES nearest_n: emitting a status for every
+    (point, fence) pair is quadratic above the threshold, and silently
+    truncating to a default would change semantics with data size — so
+    nearest_n=None above the threshold raises instead.
     """
     w = Window.partitionBy(entity).orderBy(seq)
     t = tracks.withColumns(
@@ -89,12 +92,22 @@ def geofence_status(
     )
     n_probe = fz.limit(fence_broadcast_threshold + 1).count()
     if n_probe > fence_broadcast_threshold:
-        return _geofence_status_knn(t, fz, entity, seq, nearest_n or 3)
+        if nearest_n is None:
+            raise ValueError(
+                f"geofence_status: {n_probe}+ fences exceed the broadcast "
+                f"threshold ({fence_broadcast_threshold}); all-fence statuses "
+                "would be quadratic at this size. Pass nearest_n (the "
+                "reference uses 3, geofence.go:63-95) or raise "
+                "fence_broadcast_threshold explicitly."
+            )
+        return _geofence_status_knn(t, fz, entity, seq, nearest_n)
 
     j = t.crossJoin(F.broadcast(fz))
     if nearest_n is not None:
+        # fence_name tiebreak matches knn_join's deterministic (dist, id)
+        # order so the two size-selected strategies agree under ties
         wn = Window.partitionBy(entity, seq).orderBy(
-            haversine_km("lat", "lon", "flat", "flon")
+            haversine_km("lat", "lon", "flat", "flon"), F.col("fence_name")
         )
         j = j.withColumn("_fr", F.row_number().over(wn)).filter(
             F.col("_fr") <= nearest_n

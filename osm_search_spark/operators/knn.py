@@ -46,8 +46,6 @@ per-round cost.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -146,12 +144,13 @@ def knn_join(
             * F.greatest(F.cos(F.radians(band)), F.lit(0.0))
         )
 
-    if radius_km is not None:
-        # global upper bound on useful rings in radius mode (the per-probe
-        # bound below finalizes earlier where cos(lat) allows)
-        ring_cap = int(math.ceil(radius_km / (size * KM_PER_DEG * 0.25))) + 2
-    else:
-        ring_cap = 1 << 30
+    # Radius mode terminates per probe, not via a global ring cap: a probe
+    # finishes when bound_km(r) >= radius_km (its unexplored cells are all
+    # beyond the radius) or when it has covered the whole object domain
+    # (r_needed <= r). At extreme latitude cos(lat)~0 keeps the first
+    # condition from ever firing, but domain exhaustion still does in
+    # O(log(domain)) quadrupling rounds — so radius results are EXACT at
+    # every latitude (a prior global cap emitted best-effort rows there).
 
     # Driver-controlled iteration: every per-round frame is localCheckpointed
     # (eager) — each round's plan must NOT reference the previous round's
@@ -230,18 +229,7 @@ def knn_join(
         pend_new = pend_ann.filter(~F.col("fin")).select(
             probe_id, plat, plon, "pix", "piy", "r_needed"
         )
-        hit_cap = r >= ring_cap
-        if hit_cap or pend_new.isEmpty():
-            if hit_cap:
-                # radius-mode global cap: pending probes (extreme-latitude
-                # cases whose cos-adjusted bound cannot reach radius_km)
-                # keep their accumulated within-radius top-k instead of
-                # silently losing rows
-                done_parts.append(
-                    ranked.join(finished_ids, probe_id, "leftanti").select(
-                        probe_id, "rank", obj_id, olat, olon, "dist_km"
-                    )
-                )
+        if pend_new.isEmpty():
             carried = None
             break
         pend = pend_new

@@ -206,9 +206,12 @@ def kmeans_train_distributed(
 
       assign: distributed argmax over broadcast centroid literals (the
         same pure-Column kernel the query path uses);
-      update: posexplode(vec) -> groupBy(cluster, dim).sum — one shuffle
-        of k x dim partial sums; only the k x dim centroid matrix is ever
-        collected (tiny, independent of corpus size).
+      update: vectors L2-normalize FIRST (spherical k-means — the same
+        objective the sample trainer optimizes; without it large-norm
+        vectors dominate the centroid sums), then posexplode(vec) ->
+        groupBy(cluster, dim).sum — one shuffle of k x dim partial sums;
+        only the k x dim centroid matrix is ever collected (tiny,
+        independent of corpus size).
 
     Init is kmeans-sample over a bounded seed set for stable starting
     points; every subsequent pass is corpus-wide.
@@ -220,13 +223,16 @@ def kmeans_train_distributed(
         sample=max(8 * n_centroids, 256), iters=2,
     )
     for _ in range(iters):
+        inv_norm = F.lit(1.0) / (_norm(F.col(corpus_vec)) + F.lit(1e-12))
         assigned = corpus.select(
             _argmax_cluster(F.col(corpus_vec), cent).alias("cluster_id"),
-            (F.col(corpus_vec)),
+            F.transform(
+                corpus_vec, lambda x: x.cast("double") * inv_norm
+            ).alias("nvec"),
         )
         sums = (
             assigned.select(
-                "cluster_id", F.posexplode(corpus_vec).alias("pos", "v")
+                "cluster_id", F.posexplode("nvec").alias("pos", "v")
             )
             .groupBy("cluster_id", "pos")
             .agg(F.sum(F.col("v").cast("double")).alias("s"))
@@ -287,7 +293,8 @@ def pq_encode(
 
     engine="arrow" (default): broadcast codebooks + vectorized numpy argmin
     inside mapInPandas — scales to k=256 codewords (a Column expression
-    tree with m*k when() terms bails out of JIT; see CLAUDE.md).
+    tree with m*k when() terms grows past the JVM JIT method-size limit
+    and falls back to interpreted evaluation).
     engine="column": pure Column arithmetic, fine for small k (<= ~16)."""
     m, k, dsub = codebooks.shape
 

@@ -12,6 +12,12 @@ Scale posture: state is keyed by entity id (hash-partitioned), fences are a
 broadcast dict (fences are small — the reference holds them all in one
 R-tree in memory too). Late/out-of-order events within a batch are ordered
 by seq before applying transitions.
+
+On the "no per-row Python" rule: the only Python loop here iterates over
+the BROADCAST FENCE DIM (bounded, not data-sized); within each fence the
+status matrix evaluates as shifted numpy arrays across the entity's whole
+micro-batch. Per-entity grouping is inherent to applyInPandasWithState —
+the per-group pandas frame is the operator's contract, not a loop we chose.
 """
 
 from __future__ import annotations

@@ -72,3 +72,20 @@ def test_knn_scale_path_matches_broadcast(spark):
     a = {tuple(r) for r in small.select(k).collect()}
     b = {tuple(r) for r in big.select(k).collect()}
     assert a == b
+
+
+def test_knn_path_requires_nearest_n(spark):
+    # above the broadcast threshold, all-fence statuses are quadratic —
+    # the engine must refuse rather than silently truncate to 3-NN
+    import pytest
+
+    fences = spark.createDataFrame(
+        [(f"f{i}", -6.3 + 0.01 * i, 106.6, 1.0) for i in range(5)],
+        "fence_name string, lat double, lon double, radius_km double",
+    )
+    tracks = spark.createDataFrame(
+        [("e0", 1, -6.3, 106.6)],
+        "query_point_id string, seq int, lat double, lon double",
+    )
+    with pytest.raises(ValueError, match="nearest_n"):
+        geofence_status(tracks, fences, fence_broadcast_threshold=1)

@@ -94,3 +94,15 @@ def test_stemmed_search_finds_morphological_variants(spark):
     # unstemmed index: the same query matches nothing
     idx0 = BM25FIndex(places)
     assert bm25f_scores(places, ["memakan"], index=idx0).count() == 0
+
+
+def test_stemmed_tokens_preserves_empty_docs(spark):
+    # a doc with zero tokens must survive stemming with tokens=[] so
+    # doc_stats / avgdl / doc counts match the unstemmed analyzer
+    df = spark.createDataFrame(
+        [(1, ["makanan", "enak"]), (2, [])],
+        "doc_id long, tokens array<string>",
+    )
+    got = {r["doc_id"]: r["tokens"] for r in stemmed_tokens(df, MINIMAL_ROOTS).collect()}
+    assert got[1] == ["makan", "enak"]
+    assert got[2] == []
