@@ -67,9 +67,18 @@ def doc_stats(tokens_df: DataFrame) -> DataFrame:
     return tokens_df.select("doc_id", F.size("tokens").alias("dl"))
 
 
-def term_dict(tokens_df: DataFrame) -> DataFrame:
+def term_dict(tokens_df: DataFrame, id_partitions: int = 64) -> DataFrame:
     """Deterministic term ids: order by (first_doc, first_pos) — the
-    reference's first-seen order (pkg/util.go:30-42) made race-free."""
+    reference's first-seen order (pkg/util.go:30-42) made race-free.
+
+    Ids are assigned WITHOUT a global sort window (a web-scale vocabulary
+    must not funnel through one task): range-partition on the sort key,
+    partition-LOCAL row_number, then add per-partition offsets (the
+    zipWithIndex pattern, SURVEY §2.11). The only collect is one count per
+    partition (<= id_partitions rows). Range partitions are ordered and
+    non-overlapping and the sort key (first doc, first pos) is unique per
+    term, so offset + local rank == global rank regardless of where the
+    sampled range boundaries fall."""
     first_seen = (
         tokens_df.select(
             "doc_id", F.posexplode("tokens").alias("pos", "term")
@@ -77,9 +86,36 @@ def term_dict(tokens_df: DataFrame) -> DataFrame:
         .groupBy("term")
         .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
     )
-    w = Window.orderBy(F.col("first.doc_id"), F.col("first.pos"))
-    return first_seen.select(
-        "term", (F.row_number().over(w) - 1).cast("long").alias("term_id")
+    # persist so the offsets job and the id job see one partition layout
+    parts = (
+        first_seen.repartitionByRange(
+            id_partitions, F.col("first.doc_id"), F.col("first.pos")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        parts.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    if not counts:
+        return parts.select(
+            "term", F.lit(0).cast("long").alias("term_id")
+        ).limit(0)
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    off = F.create_map(
+        *[F.lit(x) for pid_acc in offsets.items() for x in pid_acc]
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("first.doc_id"), F.col("first.pos")
+    )
+    return parts.select(
+        "term",
+        (off[F.col("_pid")] + F.row_number().over(w) - 1)
+        .cast("long")
+        .alias("term_id"),
     )
 
 
@@ -136,14 +172,34 @@ def bm25_search(
 ) -> DataFrame:
     """Tokenized free-form query → top-k (doc_id, score, rank) — the scoring
     core of FreeFormQuery (searcher.go:150-246); spell correction is layered
-    on top by operators/spell.py."""
+    on top by operators/spell.py.
+
+    Top-k is `orderBy().limit()` — TakeOrderedAndProject: each partition
+    keeps its local top-(offset+k) and the driver merges, so no
+    full-matching-set single-partition shuffle (the rank window that
+    follows only ever sees the <= offset+k surviving rows)."""
     terms = [t for t in query.lower().split() if t]
     scores = bm25_scores(docs, terms, **kw)
-    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+    return _ranked_topk(
+        scores, [F.desc("score"), F.col("doc_id")], k, offset
     )
+
+
+def _ranked_topk(
+    scores: DataFrame, order: list, k: int, offset: int = 0
+) -> DataFrame:
+    """Attach 1-based `rank` to the global top-(offset+k) rows of `scores`.
+
+    The heavy selection is Sort+Limit (compiled to TakeOrderedAndProject —
+    per-partition top-k, driver merge); the row_number window runs AFTER the
+    limit, over a constant-bounded (<= offset+k row) frame, so its single
+    partition is scale-safe by construction."""
+    top = scores.orderBy(*order).limit(offset + k)
+    w = Window.orderBy(*order)
+    out = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    if offset:
+        out = out.filter(F.col("rank") > offset)
+    return out
 
 
 def bm25_sql(

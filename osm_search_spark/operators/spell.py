@@ -154,6 +154,33 @@ def batch_correct_queries(
     Returns the best interpretation per query, same semantics as
     correct_query(top=1) for each.
     """
+    return [
+        interps[0]
+        for interps in _batch_interps(
+            spark, queries, term_dict, counts, top=1, prefix_last=False,
+            max_dist=max_dist,
+            max_candidates_per_token=max_candidates_per_token,
+            stem_roots=stem_roots,
+        )
+    ]
+
+
+def _batch_interps(
+    spark: SparkSession,
+    queries: list[str],
+    term_dict: DataFrame,
+    counts: DataFrame,
+    top: int = 1,
+    prefix_last: bool = False,
+    max_dist: int = 2,
+    max_candidates_per_token: int = 64,
+    max_prefix: int = 10000,
+    stem_roots: "frozenset | None" = None,
+) -> list[list[list[str]]]:
+    """Top-`top` interpretations for EVERY query with a CONSTANT number of
+    Spark jobs (vocab semi-join + one levenshtein join + one prefix join
+    when prefix_last + one LM scoring job), regardless of query count or
+    interpretation count — the batched form of correct_query."""
     tok_lists = []
     for q in queries:
         toks = [t for t in q.lower().split() if t]
@@ -170,7 +197,15 @@ def batch_correct_queries(
     vocab = {
         r["term"] for r in tok_frame.join(term_dict, "term", "leftsemi").collect()
     }
-    unknown = sorted(set(all_tokens) - vocab)
+    # tokens eligible for spell correction: every token, except each
+    # query's LAST one in prefix mode (that one always prefix-expands,
+    # spell_corrector.go:160-188)
+    spellable = {
+        t
+        for toks in tok_lists
+        for t in (toks[:-1] if prefix_last else toks)
+    }
+    unknown = sorted(spellable - vocab)
 
     cand_map: dict[str, list[str]] = {}
     if unknown:
@@ -193,38 +228,61 @@ def batch_correct_queries(
         for r in rows:
             cand_map.setdefault(r["token"], []).append(r["term"])
 
+    prefix_map: dict[str, list[str]] = {}
+    if prefix_last:
+        lasts = sorted({toks[-1] for toks in tok_lists})
+        last_frame = F.broadcast(
+            spark.createDataFrame([(t,) for t in lasts], "prefix string")
+        )
+        wp = Window.partitionBy("prefix").orderBy("term")
+        prows = (
+            term_dict.crossJoin(last_frame)
+            .filter(F.col("term").startswith(F.col("prefix")))
+            .withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= max_prefix)
+            .select("prefix", "term")
+            .collect()
+        )
+        prows.sort(key=lambda r: (r["prefix"], r["term"]))
+        for r in prows:
+            prefix_map.setdefault(r["prefix"], []).append(r["term"])
+
     # assemble candidate interpretations per query (reference cartesian fold)
     all_cands: list[list[str]] = []
     spans: list[tuple[int, int]] = []  # [start, end) into all_cands per query
     for toks in tok_lists:
-        per_token = [
-            [t] if t in vocab else (cand_map.get(t) or [t]) for t in toks
-        ]
+        per_token = []
+        for i, t in enumerate(toks):
+            if prefix_last and i == len(toks) - 1:
+                per_token.append(prefix_map.get(t) or [t])
+            elif t in vocab:
+                per_token.append([t])
+            else:
+                per_token.append(cand_map.get(t) or [t])
         cands = candidate_queries(per_token)
         spans.append((len(all_cands), len(all_cands) + len(cands)))
         all_cands.extend(cands)
 
     multi = [i for i, (s, e) in enumerate(spans) if e - s > 1]
     if not multi:
-        return [all_cands[s] for s, _ in spans]
+        return [[all_cands[s]] for s, _ in spans]
 
     scored = ngram_lm.query_log_prob(spark, all_cands, counts).collect()
     by_id = {r["query_id"]: r["log_prob"] for r in scored}
 
-    out: list[list[str]] = []
+    def keyf(i):
+        p = by_id.get(i)
+        if p is None or p != p:  # NaN
+            p = float("-inf")
+        return (-p, i)
+
+    out: list[list[list[str]]] = []
     for s, e in spans:
         if e - s == 1:
-            out.append(all_cands[s])
+            out.append([all_cands[s]])
             continue
-
-        def keyf(i):
-            p = by_id.get(i)
-            if p is None or p != p:  # NaN
-                p = float("-inf")
-            return (-p, i)
-
-        best = min(range(s, e), key=keyf)
-        out.append(all_cands[best])
+        order = sorted(range(s, e), key=keyf)
+        out.append([all_cands[i] for i in order[:top]])
     return out
 
 
@@ -260,6 +318,18 @@ class BM25FIndex:
         postings, stats, avgdl = self.fields[field]
         return (
             postings.filter(F.col("term").isin(query_terms))
+            .join(stats, "doc_id")
+            .withColumn("field", F.lit(field))
+            .withColumn("avgdl", F.lit(avgdl))
+        )
+
+    def field_frame_df(self, field: str, terms_df: DataFrame) -> DataFrame:
+        """field_frame with the term filter as a broadcast semi-join — the
+        batch form (the term set comes from a whole query batch, not a
+        Python list)."""
+        postings, stats, avgdl = self.fields[field]
+        return (
+            postings.join(F.broadcast(terms_df.select("term")), "term", "leftsemi")
             .join(stats, "doc_id")
             .withColumn("field", F.lit(field))
             .withColumn("avgdl", F.lit(avgdl))
@@ -321,10 +391,10 @@ def freeform_search(
         spark, query, term_dict, counts, top=1, stem_roots=roots
     )[0]
     scores = bm25f_scores(places, corrected, index=index)
-    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
-    top = (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+    # TakeOrderedAndProject top-k: per-partition top-(offset+k) + driver
+    # merge; the rank window after it only sees <= offset+k rows
+    top = search._ranked_topk(
+        scores, [F.desc("score"), F.col("doc_id")], k, offset
     )
     return (
         places.join(F.broadcast(top), places["id"] == top["doc_id"])
@@ -354,32 +424,195 @@ def autocomplete(
     results = None
     for qi, terms in enumerate(interps):
         scores = bm25f_scores(places, terms, index=index)
-        # AND semantics: doc must contain every query term in name+address
-        toks = search.doc_tokens(
-            places.select(
-                "id", F.concat_ws(" ", "name", "address").alias("text")
-            ),
-            doc_id="id", text="text", stem_roots=index.stem_roots,
-        )
-        have_all = (
-            toks.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
-            .filter(F.col("term").isin(terms))
-            .groupBy("doc_id")
-            .agg(F.countDistinct("term").alias("nt"))
-            .filter(F.col("nt") == len(set(terms)))
-            .select("doc_id")
-        )
+        # AND semantics (scoreBM25FAutocomplete, searcher.go:493-532): doc
+        # must contain every query term in name+address. Derived from the
+        # PREBUILT per-field postings — a term is in the doc iff it has a
+        # posting in either field — so no corpus re-tokenize per
+        # interpretation (the postings already carry exactly this).
+        have_all = _docs_with_all_terms(index, terms)
         part = scores.join(have_all, "doc_id", "leftsemi").withColumn(
             "interp", F.lit(qi)
         )
         results = part if results is None else results.unionByName(part)
-    w = Window.orderBy("interp", F.desc("score"), F.col("doc_id"))
-    top = (
-        results.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    top = search._ranked_topk(
+        results, [F.col("interp"), F.desc("score"), F.col("doc_id")], k
     )
     return (
         places.join(F.broadcast(top), places["id"] == top["doc_id"])
         .select("rank", "interp", "score", "id", "name", "address")
         .orderBy("rank")
+    )
+
+
+def _docs_with_all_terms(index: "BM25FIndex", terms: list[str]) -> DataFrame:
+    """(doc_id) docs whose name+address postings cover EVERY query term —
+    the autocomplete AND-intersection from the prebuilt index (zero corpus
+    scans; the postings frames are persisted and term-filtered)."""
+    name_p, _, _ = index.fields["name"]
+    addr_p, _, _ = index.fields["address"]
+    both = name_p.select("doc_id", "term").unionByName(
+        addr_p.select("doc_id", "term")
+    )
+    return (
+        both.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(set(terms)))
+        .select("doc_id")
+    )
+
+
+# --- batched BM25F serving: many queries / interpretations, ONE plan ---------
+
+def batch_bm25f_scores(
+    index: BM25FIndex,
+    interps: DataFrame,
+    require_all: bool = False,
+    k1: float = K1_BM25F,
+    name_w: float = NAME_WEIGHT,
+    name_b: float = NAME_B,
+    addr_w: float = ADDRESS_WEIGHT,
+    addr_b: float = NAME_B,  # faithful: reference uses NAME_B for both
+) -> DataFrame:
+    """(query_id, interp, doc_id, score) for a whole batch of query
+    interpretations — `interps` is (query_id long, interp int,
+    terms array<string>).
+
+    Shuffle shape mirrors batch_bm25_search: the per-field postings enrich
+    on the CORPUS side (query-independent, persisted in the index); the
+    exploded (query_id, interp, term) batch BROADCASTS onto it; one
+    repartition by query_id feeds both the score aggregate and any top-k
+    window downstream. require_all=True adds the autocomplete
+    AND-intersection (every distinct query term must have a posting in
+    name or address — searcher.go:493-532) from the same joined rows, so
+    the AND check costs no extra corpus pass."""
+    n_docs = index.n_docs
+    qt = interps.select(
+        "query_id", "interp",
+        F.explode(F.array_distinct("terms")).alias("term"),
+    )
+    terms_df = qt.select("term").distinct()
+    tf = index.field_frame_df("name", terms_df).unionByName(
+        index.field_frame_df("address", terms_df)
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log10(F.lit(float(n_docs)) - F.col("df") + 0.5) - F.log10(
+        F.col("df") + 0.5
+    )
+    w = F.when(
+        F.col("field") == "name",
+        name_w * (F.col("tf") / (1.0 + name_b * (F.col("dl") / F.col("avgdl") - 1.0))),
+    ).otherwise(
+        addr_w * (F.col("tf") / (1.0 + addr_b * (F.col("dl") / F.col("avgdl") - 1.0)))
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn("wtd", w)
+        .withColumn("contrib", (F.col("wtd") / (k1 + F.col("wtd"))) * idf)
+    )
+    scored = (
+        F.broadcast(qt).join(contrib, "term")
+        .repartition("query_id")
+        .groupBy("query_id", "interp", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.countDistinct("term").alias("_nt"),
+        )
+    )
+    if require_all:
+        need = interps.select(
+            "query_id", "interp",
+            F.size(F.array_distinct("terms")).alias("_n_terms"),
+        )
+        scored = scored.join(F.broadcast(need), ["query_id", "interp"]).filter(
+            F.col("_nt") == F.col("_n_terms")
+        )
+    return scored.select("query_id", "interp", "doc_id", "score")
+
+
+def batch_freeform_search(
+    spark: SparkSession,
+    places: DataFrame,
+    term_dict: DataFrame,
+    counts: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    offset: int = 0,
+    index: "BM25FIndex | None" = None,
+) -> DataFrame:
+    """FreeFormQuery over a whole query batch on the batch spine: ONE
+    batched spell-correct (constant jobs) + ONE batched BM25F plan +
+    per-query top-k window (partitioned by query_id — never a global
+    single-partition sort). Row-for-row identical to freeform_search per
+    query; returns (query_id, rank, score, id, name, lat, lon, address,
+    type)."""
+    if index is None:
+        index = BM25FIndex(places)
+    corrected = batch_correct_queries(
+        spark, queries, term_dict, counts, stem_roots=index.stem_roots
+    )
+    interps = spark.createDataFrame(
+        [(qid, 0, terms) for qid, terms in enumerate(corrected)],
+        "query_id long, interp int, terms array<string>",
+    )
+    scores = batch_bm25f_scores(index, interps)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
+    top = (
+        scores.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+    )
+    return (
+        places.join(F.broadcast(top), places["id"] == top["doc_id"])
+        .select(
+            "query_id", "rank", "score", "id", "name", "lat", "lon",
+            "address", "type",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def batch_autocomplete(
+    spark: SparkSession,
+    places: DataFrame,
+    term_dict: DataFrame,
+    counts: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    index: "BM25FIndex | None" = None,
+) -> DataFrame:
+    """Autocomplete over a whole query batch with a CONSTANT number of
+    Spark jobs in both query count and interpretation count: one batched
+    prefix+spell+LM pass picks the top-3 interpretations per query, then
+    ONE batched BM25F plan scores every (query, interpretation) with AND
+    semantics derived from the same joined posting rows (no corpus
+    re-tokenize — the round-2 per-interpretation rescan is gone on both
+    the batch and serving paths). Per query, rows match autocomplete().
+
+    Returns (query_id, rank, interp, score, id, name, address)."""
+    if index is None:
+        index = BM25FIndex(places)
+    per_q = _batch_interps(
+        spark, queries, term_dict, counts, top=3, prefix_last=True,
+        stem_roots=index.stem_roots,
+    )
+    interps = spark.createDataFrame(
+        [
+            (qid, qi, terms)
+            for qid, interps_q in enumerate(per_q)
+            for qi, terms in enumerate(interps_q)
+        ],
+        "query_id long, interp int, terms array<string>",
+    )
+    scores = batch_bm25f_scores(index, interps, require_all=True)
+    wq = Window.partitionBy("query_id").orderBy(
+        "interp", F.desc("score"), F.col("doc_id")
+    )
+    top = (
+        scores.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        places.join(F.broadcast(top), places["id"] == top["doc_id"])
+        .select("query_id", "rank", "interp", "score", "id", "name", "address")
+        .orderBy("query_id", "rank")
     )
