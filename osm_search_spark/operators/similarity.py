@@ -9,9 +9,11 @@
 - ivf_topk: kmeans centroids (sample or DISTRIBUTED full-corpus training)
   + inverted lists + n_probe restriction; assignment is a broadcast-
   literal argmin (pure Column).
-- pq_train/pq_encode/pq_topk: product quantization — 8x-32x compressed
-  codes, ADC lookup-table scan (no dot products), exact re-rank of the
-  shortlist (FAISS-style refine).
+- pq_train/pq_train_distributed/pq_encode/pq_luts/pq_topk: product
+  quantization — 8x-32x compressed codes, ADC lookup-table scan as ONE
+  broadcast join (no dot products, flat plan in probe count), exact
+  re-rank of the shortlist (FAISS-style refine); training either from a
+  bounded sample or full-corpus per-subspace Lloyd.
 
 At 10^12-row scale brute force is O(P*N) arithmetic; LSH/IVF cut the
 candidate set, PQ cuts per-candidate cost and memory. All share the exact
@@ -284,6 +286,58 @@ def pq_train(
     return np.array(books)  # (m, k, dsub)
 
 
+def pq_train_distributed(
+    corpus: DataFrame, m: int = 16, k: int = 32,
+    corpus_vec: str = "embedding", seed: int = 42, iters: int = 4,
+):
+    """Per-subspace Lloyd k-means over the FULL corpus — no fixed-size
+    driver sample on the PQ path (mirrors kmeans_train_distributed for
+    IVF). Each iteration:
+
+      assign: pq_encode(engine="arrow") — broadcast codebooks, vectorized
+        numpy argmin per subspace inside mapInPandas;
+      update: posexplode(codes) -> slice the assigned subvector ->
+        posexplode dims -> groupBy(subspace, code, dim).sum — ONE shuffle
+        of m*k*dsub partial sums; only that tiny matrix is collected.
+
+    Init is the bounded-sample trainer for stable starting points; every
+    subsequent pass is corpus-wide. Objective matches pq_train (plain
+    per-subspace mean — PQ quantizes raw subvectors, not unit vectors)."""
+    dim = len(corpus.select(corpus_vec).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    books = pq_train(
+        corpus, m, k, corpus_vec, seed=seed,
+        sample=max(8 * k, 512), iters=4,
+    )
+    for _ in range(iters):
+        coded = pq_encode(corpus, books, corpus_vec, engine="arrow")
+        # generators can't nest: one per select
+        sub = coded.select(
+            F.posexplode("codes").alias("j", "c"),
+            F.col(corpus_vec).alias("v"),
+        )
+        per_dim = sub.select(
+            "j", "c",
+            F.posexplode(
+                F.slice("v", F.col("j") * dsub + 1, F.lit(dsub))
+            ).alias("p", "x"),
+        )
+        sums = (
+            per_dim.groupBy("j", "c", "p")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = np.array(books, dtype=np.float64)
+        for r in sums:
+            new[r["j"], r["c"], r["p"]] = r["s"] / r["n"]
+        books = new
+    return books
+
+
 def pq_encode(
     corpus: DataFrame, codebooks, corpus_vec: str = "embedding",
     engine: str = "arrow",
@@ -356,6 +410,50 @@ def pq_encode(
     return corpus.withColumn("codes", codes)
 
 
+def pq_luts(
+    probes: DataFrame, codebooks, probe_vec: str = "pvec",
+) -> DataFrame:
+    """Add `lut` (array<double>, length m*k): the flattened per-probe ADC
+    lookup table — exact squared L2 from the probe's j-th subvector to
+    every codeword of sub-codebook j at position j*k + c. Vectorized numpy
+    inside mapInPandas (codebooks broadcast); never a driver collect, so
+    the probe batch can itself be a big DataFrame."""
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    m, kc, dsub = codebooks.shape
+    spark = probes.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+    schema = StructType(
+        list(probes.schema.fields) + [StructField("lut", ArrayType(DoubleType()))]
+    )
+
+    def build(batches):
+        books = bc.value  # (m, kc, dsub)
+        for pdf in batches:
+            if pdf.empty:
+                pdf["lut"] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            X = np.array(list(pdf[probe_vec]), dtype=np.float64)  # (n, dim)
+            n = len(X)
+            luts = np.empty((n, m * kc), dtype=np.float64)
+            for j in range(m):
+                xs = X[:, j * dsub : (j + 1) * dsub]  # (n, dsub)
+                # (n, kc) squared distances to sub-codebook j
+                luts[:, j * kc : (j + 1) * kc] = (
+                    (xs * xs).sum(axis=1, keepdims=True)
+                    - 2.0 * xs @ books[j].T
+                    + (books[j] * books[j]).sum(axis=1)[None, :]
+                )
+            pdf = pdf.copy()
+            pdf["lut"] = list(luts)
+            yield pdf
+
+    return probes.mapInPandas(build, schema=schema)
+
+
 def pq_topk(
     probes: DataFrame,
     corpus_codes: DataFrame,
@@ -367,71 +465,84 @@ def pq_topk(
     corpus_vec: str = "embedding",
     refine_factor: int = 5,
 ) -> DataFrame:
-    """Approximate L2 top-k by Asymmetric Distance Computation: each probe
-    ships a flattened m*k lookup table of exact subspace distances to every
-    codeword; a corpus row's distance is m `element_at` lookups — no dot
-    product, dimension-independent scan cost, and the corpus never
-    shuffles (probe tables broadcast).
-
-    Probes are collected driver-side to build the tables — bounded by
-    design (probes are the query batch, not the corpus).
+    """Approximate L2 top-k by Asymmetric Distance Computation as ONE join:
+    probes carry their flattened m*k lookup table (pq_luts, computed
+    distributed), broadcast onto a SINGLE corpus_codes scan; a corpus row's
+    distance is a zip_with fold of m `element_at` lookups — no dot product,
+    dimension-independent scan cost, flat plan size no matter how many
+    probes are in the batch (the round-2 per-probe union of N corpus scans
+    is gone).
 
     refine_factor: when > 1 and `corpus_codes` still carries the original
     vector column, the ADC shortlist of k*refine_factor candidates is
-    re-ranked by EXACT L2 (the FAISS-style refine stage) — the shortlist
-    is tiny, so the exact math never touches the full corpus."""
+    re-ranked by EXACT L2 against the joined probe vector (the FAISS-style
+    refine stage) — the shortlist is tiny, so the exact math never touches
+    the full corpus."""
     m, kc, dsub = codebooks.shape
-    rows = probes.select(probe_id, probe_vec).collect()
     shortlist = k * refine_factor
-    parts = []
-    for r in rows:
-        pv = np.asarray(r[probe_vec], dtype=np.float64)
-        table = [
-            float(((pv[j * dsub : (j + 1) * dsub] - codebooks[j][c]) ** 2).sum())
-            for j in range(m)
-            for c in range(kc)
-        ]
-        lut = F.array(*[F.lit(v) for v in table])
-        adc = None
-        for j in range(m):
-            term = F.element_at(lut, F.element_at("codes", j + 1) + j * kc + 1)
-            adc = term if adc is None else adc + term
-        part = corpus_codes.filter(F.col(corpus_id) != r[probe_id]).withColumns(
-            {probe_id: F.lit(r[probe_id]), "adc_dist": adc}
+    plut = pq_luts(
+        probes.select(probe_id, probe_vec), codebooks, probe_vec
+    )
+    # ADC as m codegen-able element_at terms (a fixed 16-term sum stays in
+    # whole-stage codegen; a zip_with/aggregate HOF over the same data runs
+    # interpreted at ~10x the cost on the 10^12-pair scan)
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            "lut", F.element_at("codes", j + 1) + F.lit(j * kc) + 1
         )
-        if refine_factor > 1:
-            pvec_lit = F.array(*[F.lit(float(v)) for v in pv])
-            exact = F.aggregate(
-                F.zip_with(
-                    F.col(corpus_vec), pvec_lit,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            part = part.withColumn("exact_dist", exact)
-        parts.append(
-            part.select(
-                probe_id, F.col(corpus_id).alias("neighbor_id"), "adc_dist",
-                *(["exact_dist"] if refine_factor > 1 else []),
-            )
+        adc = term if adc is None else adc + term
+    # narrow BEFORE the top-k shuffle: only (probe_id, corpus_id, adc_dist)
+    # ever moves — never the LUT / code / vector payloads. The probe fan-out
+    # is a constant-key BroadcastHASHJoin, not a crossJoin: BNLJ is excluded
+    # from whole-stage codegen, BHJ multi-match stays inside it (~5x on the
+    # ADC scan).
+    scored = (
+        corpus_codes.select(corpus_id, "codes", F.lit(1).alias("_k"))
+        .join(
+            F.broadcast(plut.select(probe_id, "lut", F.lit(1).alias("_k"))),
+            "_k",
         )
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionByName(p)
-    w = Window.partitionBy(probe_id).orderBy("adc_dist", "neighbor_id")
+        .filter(F.col(corpus_id) != F.col(probe_id))
+        .select(probe_id, corpus_id, adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy(probe_id).orderBy("adc_dist", F.col(corpus_id))
     ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
     if refine_factor > 1:
-        w2 = Window.partitionBy(probe_id).orderBy("exact_dist", "neighbor_id")
+        # exact re-rank of the tiny shortlist: fetch the vectors back via a
+        # broadcast of the shortlist (k*refine_factor*|probes| rows) — one
+        # extra bounded corpus probe, no wide shuffle
+        short = ranked.filter(F.col("rank") <= shortlist).select(
+            probe_id, corpus_id
+        )
+        fetched = (
+            corpus_codes.select(corpus_id, corpus_vec)
+            .join(F.broadcast(short), corpus_id)
+            .join(
+                F.broadcast(probes.select(probe_id, probe_vec)), probe_id
+            )
+        )
+        exact = F.aggregate(
+            F.zip_with(
+                F.col(corpus_vec), F.col(probe_vec),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        w2 = Window.partitionBy(probe_id).orderBy("exact_dist", F.col(corpus_id))
         return (
-            ranked.filter(F.col("rank") <= shortlist)
+            fetched.withColumn("exact_dist", exact)
             .withColumn("rank", F.row_number().over(w2).cast("long"))
             .filter(F.col("rank") <= k)
-            .select(probe_id, "rank", "neighbor_id",
-                    F.col("exact_dist").alias("dist"))
+            .select(
+                probe_id, "rank", F.col(corpus_id).alias("neighbor_id"),
+                F.col("exact_dist").alias("dist"),
+            )
         )
-    return (
-        ranked.filter(F.col("rank") <= k)
-        .select(probe_id, "rank", "neighbor_id", F.col("adc_dist").alias("dist"))
+    return ranked.filter(F.col("rank") <= k).select(
+        probe_id, "rank", F.col(corpus_id).alias("neighbor_id"),
+        F.col("adc_dist").alias("dist"),
     )
 
 

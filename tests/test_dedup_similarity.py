@@ -208,3 +208,41 @@ def test_pq_adc_with_refine_recall(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
     codes.unpersist()
+
+
+def test_pq_distributed_training_recall_and_flat_plan(spark):
+    # full-corpus per-subspace trainer (no driver sample) must reach the
+    # same recall bar; and pq_topk must be ONE corpus scan regardless of
+    # probe count (round-2 verdict item 3: no per-probe union)
+    import numpy as np
+
+    from osm_search_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S.pq_train_distributed(emb, m=16, k=32, iters=2)
+    assert books.shape == (16, 32, 4)
+    codes = S.pq_encode(emb, books).persist()
+
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    ids = np.array([a for a, _ in rows])
+    V = np.array([b for _, b in rows], dtype=np.float64)
+    exact = set()
+    for p in range(5):
+        pv = V[ids == p][0]
+        d = ((V - pv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        got = [int(ids[i]) for i in order if ids[i] != p][:10]
+        exact |= {(p, n) for n in got}
+
+    probes = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    res = S.pq_topk(probes, codes, books, k=10, refine_factor=5)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "simple"
+    )
+    assert "Union" not in plan, plan
+    approx = {(r["probe_id"], r["neighbor_id"]) for r in res.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+    codes.unpersist()
