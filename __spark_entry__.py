@@ -351,17 +351,24 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_lsh_pairs() -> str:
+    # mirrors lsh_candidate_pairs' DEFAULT mega-bucket cap (band buckets
+    # larger than DEFAULT_LSH_MAX_BUCKET are excluded from the self-join)
+    cap = dedup.DEFAULT_LSH_MAX_BUCKET
     return f"""
 with sigs as ({dedup.minhash_sql('documents')}),
+k1 as (select h0, h1 from sigs group by h0, h1 having count(*) <= {cap}),
+k2 as (select h2, h3 from sigs group by h2, h3 having count(*) <= {cap}),
 b1 as (
   select a.doc_id as doc_a, b.doc_id as doc_b
   from sigs a join sigs b
     on a.h0 = b.h0 and a.h1 = b.h1 and a.doc_id < b.doc_id
+  join k1 on a.h0 = k1.h0 and a.h1 = k1.h1
 ),
 b2 as (
   select a.doc_id as doc_a, b.doc_id as doc_b
   from sigs a join sigs b
     on a.h2 = b.h2 and a.h3 = b.h3 and a.doc_id < b.doc_id
+  join k2 on a.h2 = k2.h2 and a.h3 = k2.h3
 )
 select doc_a, doc_b from (select * from b1 union select * from b2)
 """

@@ -87,21 +87,27 @@ def minhash_sql(
     )
 
 
+DEFAULT_LSH_MAX_BUCKET = 1000  # see tools/bench_lsh_skew.py for the cutoff
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: tuple[tuple[str, ...], ...] = (("h0", "h1"), ("h2", "h3")),
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_LSH_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs: docs sharing any full band.
     Self-join per band on the band key; dedup across bands.
 
     max_bucket_size: skew guard for web corpora — a band bucket of m docs
     emits m^2/2 pairs, and boilerplate-heavy corpora have mega-buckets that
-    are near-useless as dedup candidates. Setting a cap EXCLUDES buckets
-    larger than the cap from the self-join (the standard practice; not a
-    silent truncation — excluded buckets are by definition all-pairs
-    near-dup groups and should be handled by exact_dedup/cluster-level
-    logic instead). None (default) keeps every bucket."""
+    are near-useless as dedup candidates. Buckets larger than the cap are
+    EXCLUDED from the self-join (the standard practice; not a silent
+    truncation — an over-cap bucket is by definition an all-pairs near-dup
+    group, cheaper handled as a GROUP by exact_dedup/cluster logic than as
+    m^2/2 pairs). The cap is ON BY DEFAULT (1000: a single planted 2%
+    mega-bucket in a 100k-doc corpus would otherwise emit 2x10^6 junk
+    pairs and dominate the join, tools/bench_lsh_skew.py) — pass None to
+    keep every bucket on corpora known to be boilerplate-free."""
     pairs = None
     for band in bands:
         keyed = signatures.select(
