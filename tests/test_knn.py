@@ -118,9 +118,10 @@ def test_knn_matches_bruteforce(spark):
 
 
 def test_radius_knn_extreme_latitude(spark):
-    # at |lat| = 85 deg cos(lat) ~ 0.087, so the per-probe radius-exhaustion
-    # bound cannot reach radius_km before the global ring cap — pending
-    # probes must still return their accumulated within-radius neighbors
+    # at |lat| = 85 deg cos(lat) ~ 0.087, so the cos-adjusted quality bound
+    # cannot reach radius_km — such probes must terminate EXACTLY via
+    # per-probe domain exhaustion (round 3: no global ring cap, no
+    # best-effort rows) and return every within-radius neighbor
     objects = spark.createDataFrame(
         [(i, 85.0 + i * 0.001, 10.0 + i * 0.002) for i in range(12)],
         "obj_id long, olat double, olon double",
