@@ -1203,6 +1203,83 @@ select id_a, id_b, round(cosv, 5) as cos from (
 """
 
 
+# Q37: BM25F two-field scoring (scoreBM25Field, searcher.go:249-315) — the
+# field-weighted ranker behind freeform_search/autocomplete, previously
+# golden-only. Fields derive deterministically from the documents table
+# (name = tokens 1-3, address = tokens 4-7) so DuckDB re-derives the same
+# two-field corpus; df counts distinct docs over BOTH fields; both fields
+# use NAME_B (faithful quirk).
+def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import spell
+
+    toks = tokenize_simple("text")
+    places = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("name"),
+        F.concat_ws(" ", F.slice(toks, 4, 4)).alias("address"),
+    )
+    scores = spell.bm25f_scores(places, BM25_QUERY_TERMS)
+    return scores.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def sql_bm25f() -> str:
+    from osm_search_spark.operators.spell import (
+        ADDRESS_WEIGHT, K1_BM25F, NAME_B, NAME_WEIGHT,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+with tok0 as (
+  select doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') as tokens
+  from documents
+),
+fields as (
+  select doc_id, list_slice(tokens, 1, 3) as name_toks,
+         list_slice(tokens, 4, 7) as addr_toks
+  from tok0
+),
+stats as (
+  select doc_id, len(name_toks) as dl_name, len(addr_toks) as dl_addr
+  from fields
+),
+corpus as (
+  select count(*) as n_docs, avg(dl_name) as avg_name, avg(dl_addr) as avg_addr
+  from stats
+),
+tfn as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest(name_toks) as term from fields)
+  where term in ({terms}) group by doc_id, term
+),
+tfa as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest(addr_toks) as term from fields)
+  where term in ({terms}) group by doc_id, term
+),
+uni as (
+  select doc_id, term, tf, 'name' as field from tfn
+  union all
+  select doc_id, term, tf, 'address' as field from tfa
+),
+dft as (select term, count(distinct doc_id) as df from uni group by term),
+scored as (
+  select u.doc_id,
+    (log10(cast(n_docs as double) - df + 0.5) - log10(df + 0.5)) as idf,
+    case when field = 'name'
+      then {NAME_WEIGHT!r} * (tf / (1.0 + {NAME_B!r} * (dl_name / cast(avg_name as double) - 1.0)))
+      else {ADDRESS_WEIGHT!r} * (tf / (1.0 + {NAME_B!r} * (dl_addr / cast(avg_addr as double) - 1.0)))
+    end as w
+  from uni u join dft using (term) join stats using (doc_id) cross join corpus
+)
+select cast(doc_id as bigint) as doc_id,
+       round(sum((w / ({K1_BM25F!r} + w)) * idf), 6) as score
+from scored group by doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1233,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_sum": q_events_running,
         "geofence_status": q_geofence,
         "bm25plus_search": q_bm25plus,
+        "bm25f_search": q_bm25f,
         "tfidf_search": q_tfidf,
         "boolean_query": q_boolean,
         "quadgram_counts": q_quadgram_counts,
@@ -1276,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running_sum": sql_events_running(),
         "geofence_status": sql_geofence(),
         "bm25plus_search": sql_bm25plus(),
+        "bm25f_search": sql_bm25f(),
         "tfidf_search": sql_tfidf(),
         "boolean_query": sql_boolean(),
         "quadgram_counts": sql_quadgram_counts(),

@@ -596,3 +596,145 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, "rank", F.col(corpus_id).alias("neighbor_id"), "cos")
     )
+
+
+# --- IVF-PQ: coarse inverted lists + residual product quantization ------------
+
+def _centroid_lit(cent):
+    """Centroid matrix as a literal nested array Column (k x dim — tiny)."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cent]
+    )
+
+
+def _residual(vec, cent, cluster_col):
+    """vec - centroids[cluster] as a Column (zip_with subtract against the
+    literal centroid row selected by cluster id)."""
+    row = F.element_at(_centroid_lit(cent), cluster_col + 1)
+    return F.zip_with(
+        vec, row, lambda x, c: x.cast("double") - c
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 16,
+    kc: int = 32,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+    train: str = "sample",
+):
+    """Build the IVF-PQ index: (indexed DataFrame, coarse centroids, PQ
+    codebooks). The classic composition (FAISS IVFPQ): a coarse spherical
+    k-means quantizer splits the corpus into inverted lists; each vector's
+    RESIDUAL from its coarse centroid is product-quantized (residuals are
+    much smaller than raw vectors, so the same code budget quantizes finer).
+
+    indexed = corpus + cluster_id (int) + codes (array<int>, m bytes of
+    information per vector) — at 10^12 rows this is the only thing the
+    query path scans, 16x+ smaller than the embedding column, partitionable
+    by cluster_id so a probe touches only its n_probe lists.
+
+    train="distributed" uses the full-corpus trainers for BOTH stages
+    (kmeans_train_distributed + pq_train_distributed); "sample" uses the
+    bounded-sample trainers."""
+    if train == "distributed":
+        cent = kmeans_train_distributed(
+            corpus, n_centroids, corpus_vec, corpus_id, seed=seed
+        )
+    else:
+        cent = kmeans_train_sample(corpus, n_centroids, corpus_vec, seed=seed)
+
+    assigned = corpus.withColumn(
+        "cluster_id", _argmax_cluster(F.col(corpus_vec), cent)
+    ).withColumn("_rvec", _residual(F.col(corpus_vec), cent, F.col("cluster_id")))
+    res_frame = assigned.select(F.col("_rvec").alias("rvec"))
+    if train == "distributed":
+        books = pq_train_distributed(res_frame, m, kc, corpus_vec="rvec", seed=seed)
+    else:
+        books = pq_train(res_frame, m, kc, corpus_vec="rvec", seed=seed)
+    indexed = pq_encode(assigned, books, corpus_vec="_rvec").drop("_rvec")
+    return indexed, cent, books
+
+
+def ivfpq_topk(
+    probes: DataFrame,
+    indexed: DataFrame,
+    cent,
+    books,
+    k: int,
+    n_probe: int = 4,
+    probe_id: str = "probe_id",
+    probe_vec: str = "pvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    refine_factor: int = 5,
+) -> DataFrame:
+    """Approximate L2 top-k over the IVF-PQ index: each probe visits only
+    its n_probe nearest inverted lists; within a list, distance is the ADC
+    scan over RESIDUAL codes (per-(probe, cluster) LUT built from the
+    probe's residual against that cluster's centroid — exact IVFPQ
+    semantics); the k*refine_factor shortlist re-ranks by exact L2.
+
+    Scale shape: the probe side explodes to n_probe (probe, cluster) rows,
+    gets its LUTs distributed (pq_luts), and BROADCASTS; the join is a
+    hash join ON cluster_id, so a corpus row is only ever matched against
+    probes that chose its list — candidate work is corpus_fraction *
+    n_probe/n_centroids, and the big side never shuffles."""
+    m, kc, dsub = books.shape
+    shortlist = k * refine_factor
+    p_assigned = probes.select(
+        probe_id, probe_vec,
+        F.explode(_top_clusters(F.col(probe_vec), cent, n_probe)).alias(
+            "cluster_id"
+        ),
+    ).withColumn(
+        "rpvec", _residual(F.col(probe_vec), cent, F.col("cluster_id"))
+    )
+    plut = pq_luts(
+        p_assigned.select(probe_id, "cluster_id", "rpvec"), books, "rpvec"
+    ).drop("rpvec")
+
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            "lut", F.element_at("codes", j + 1) + F.lit(j * kc) + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        indexed.select(corpus_id, "cluster_id", "codes")
+        .join(F.broadcast(plut), "cluster_id")
+        .filter(F.col(corpus_id) != F.col(probe_id))
+        .select(probe_id, corpus_id, adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy(probe_id).orderBy("adc_dist", F.col(corpus_id))
+    short = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= shortlist)
+        .select(probe_id, corpus_id)
+    )
+    fetched = (
+        indexed.select(corpus_id, corpus_vec)
+        .join(F.broadcast(short), corpus_id)
+        .join(F.broadcast(probes.select(probe_id, probe_vec)), probe_id)
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(corpus_vec), F.col(probe_vec),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w2 = Window.partitionBy(probe_id).orderBy("exact_dist", F.col(corpus_id))
+    return (
+        fetched.withColumn("exact_dist", exact)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            probe_id, "rank", F.col(corpus_id).alias("neighbor_id"),
+            F.col("exact_dist").alias("dist"),
+        )
+    )

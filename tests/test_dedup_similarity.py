@@ -246,3 +246,44 @@ def test_pq_distributed_training_recall_and_flat_plan(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
     codes.unpersist()
+
+
+def test_ivfpq_topk_recall(spark):
+    # composed scale path: coarse inverted lists + residual PQ codes + exact
+    # refine — the 10^12-row ANN shape (probe touches n_probe/n_centroids of
+    # the corpus, scans 16x-compressed codes, refines a tiny shortlist)
+    import numpy as np
+
+    from osm_search_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    indexed, cent, books = S.ivfpq_build(emb, n_centroids=8, m=16, kc=32)
+    indexed = indexed.persist()
+    assert indexed.filter(F.size("codes") != 16).count() == 0
+    assert set(indexed.columns) >= {"vec_id", "embedding", "cluster_id", "codes"}
+
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    ids = np.array([a for a, _ in rows])
+    V = np.array([b for _, b in rows], dtype=np.float64)
+    exact = set()
+    for p in range(5):
+        pv = V[ids == p][0]
+        d = ((V - pv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        got = [int(ids[i]) for i in order if ids[i] != p][:10]
+        exact |= {(p, n) for n in got}
+
+    probes = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    res = S.ivfpq_topk(probes, indexed, cent, books, k=10, n_probe=4)
+    approx = {(r["probe_id"], r["neighbor_id"]) for r in res.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # full-probe sanity: visiting every list must beat the restricted run
+    res_all = S.ivfpq_topk(probes, indexed, cent, books, k=10, n_probe=8)
+    approx_all = {(r["probe_id"], r["neighbor_id"]) for r in res_all.collect()}
+    recall_all = len(exact & approx_all) / len(exact)
+    assert recall_all >= recall
+    assert recall_all >= 0.8, recall_all
+    indexed.unpersist()
