@@ -1282,6 +1282,152 @@ from scored group by doc_id
 
 # ---------------------------------------------------------------------------
 
+# Q38-40: raster <-> vector (operators/raster.py — north-rule capability the
+# reference lacks; defined Spark-first on the engine's aligned pixel lattice).
+_RAST_RES, _RAST_PX = 12, 8
+
+
+def _concave_lattice_cte() -> str:
+    """Shared DuckDB CTE chain: concave polygons -> bbox cover cells at
+    _RAST_RES -> px*px pixel-center lattice -> winding-number inside flag.
+    Formula text mirrors rasterize_polygons' numpy kernel exactly (global
+    lattice centers, same op order; see operators/raster.py docstring)."""
+    res, px = _RAST_RES, _RAST_PX
+    size = synth.dlit(C.cell_size_deg(res))
+    size_p = synth.dlit(C.cell_size_deg(res + 3))
+    nx, ny = 2 << res, 1 << res
+    cross = "((rn[e+1]-rn[e])*(plat-rl[e]) - (plon-rn[e])*(rl[e+1]-rl[e]))"
+    return f"""
+polys as ({synth.concave_polygons_sql()}),
+cov as (
+  select polygon_id, ring_lat as rl, ring_lon as rn,
+    least(greatest(cast(floor((list_min(ring_lon) + 180.0) / {size}) as bigint), 0), {nx - 1}) as ix0,
+    least(greatest(cast(floor((list_max(ring_lon) + 180.0) / {size}) as bigint), 0), {nx - 1}) as ix1,
+    least(greatest(cast(floor((list_min(ring_lat) + 90.0) / {size}) as bigint), 0), {ny - 1}) as iy0,
+    least(greatest(cast(floor((list_max(ring_lat) + 90.0) / {size}) as bigint), 0), {ny - 1}) as iy1
+  from polys
+),
+cells_x as (
+  select polygon_id, rl, rn, iy0, iy1, unnest(generate_series(ix0, ix1)) as ix
+  from cov
+),
+cells as (
+  select polygon_id, rl, rn, ix, unnest(generate_series(iy0, iy1)) as iy
+  from cells_x
+),
+pix as (
+  select polygon_id, rl, rn, ix, iy, gi.i, gj.j,
+         (ix * {px} + gi.i + 0.5) * {size_p} - 180.0 as plon,
+         (iy * {px} + gj.j + 0.5) * {size_p} - 90.0 as plat
+  from cells, generate_series(0, {px - 1}) gi(i), generate_series(0, {px - 1}) gj(j)
+),
+scored as (
+  select polygon_id, ix, iy, i, j,
+    list_sum([case when rl[e] <= plat and rl[e+1] > plat and {cross} > 0 then 1
+                   when rl[e] > plat and rl[e+1] <= plat and {cross} < 0 then -1
+                   else 0 end
+              for e in generate_series(1, len(rl) - 1)]) as wn,
+    len(list_filter(generate_series(1, len(rl) - 1), e ->
+        plon >= least(rn[e], rn[e+1]) and plon <= greatest(rn[e], rn[e+1])
+        and plat >= least(rl[e], rl[e+1]) and plat <= greatest(rl[e], rl[e+1])
+    )) > 0 as on_edge
+  from pix
+)"""
+
+
+def q_rasterize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import raster as R
+
+    rast = R.rasterize_polygons(
+        synth.concave_polygons_df(spark), res=_RAST_RES, px=_RAST_PX
+    )
+    return R.raster_pixels(rast, _RAST_PX)
+
+
+def sql_rasterize_pixels() -> str:
+    return f"""
+with {_concave_lattice_cte()}
+select cast(polygon_id as bigint) as polygon_id,
+       ({_RAST_RES} * {C.RES_BITS_SHIFT} + ix * {C.IX_SHIFT} + iy) as cell_id,
+       cast(j * {_RAST_PX} + i as integer) as pixel_idx
+from scored where on_edge or wn <> 0
+"""
+
+
+def q_vectorize_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector round-trip invariant as a gate query: the exact
+    integer shoelace area of the marching-boundary rings must equal the
+    set-pixel count (x2), which DuckDB derives INDEPENDENTLY by counting
+    lattice points inside the original polygons."""
+    from osm_search_spark.operators import raster as R
+
+    rast = R.rasterize_polygons(
+        synth.concave_polygons_df(spark), res=_RAST_RES, px=_RAST_PX
+    )
+    rings = R.vectorize_masks(rast, _RAST_RES, _RAST_PX)
+    return rings.groupBy("polygon_id").agg(F.sum("area2").alias("area2_px"))
+
+
+def sql_vectorize_area() -> str:
+    return f"""
+with {_concave_lattice_cte()}
+select cast(polygon_id as bigint) as polygon_id,
+       2 * count(*) as area2_px
+from scored where on_edge or wn <> 0
+group by polygon_id
+"""
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import raster as R
+    from osm_search_spark.sources import images as img_src
+
+    imgs = img_src.images_table(spark, 400)
+    box = (img_src.LAT0, img_src.LON0, img_src.LAT1, img_src.LON1)
+    return R.image_zonal_stats(imgs, synth.admin_polygons(spark, box))
+
+
+def sql_zonal_stats() -> str:
+    """Oracle per the images pattern (FIXTURES.md): re-synthesize + DECODE the
+    deterministic rows driver-side, embed exact integer channel sums as
+    VALUES — the gate then independently verifies the PIP join + zonal
+    aggregation; decode fidelity itself is pytest-PSNR-checked."""
+    import numpy as _np
+
+    from osm_search_spark.functions import images as I
+    from osm_search_spark.sources import images as img_src
+
+    rows = []
+    for i in range(400):
+        r = img_src.make_row(i)
+        p = I.decode(r["bytes"], r["fmt"]).astype(_np.int64)
+        s = p.sum(axis=(0, 1))
+        rows.append(
+            "('{}', {}, {}, {}, {}, {}, {})".format(
+                r["image_id"], synth.dlit(r["lat"]), synth.dlit(r["lon"]),
+                p.shape[0] * p.shape[1], int(s[0]), int(s[1]), int(s[2]),
+            )
+        )
+    box = (img_src.LAT0, img_src.LON0, img_src.LAT1, img_src.LON1)
+    vals = ",\n".join(rows)
+    return f"""
+with feats as (
+  select * from (values\n{vals}\n) f(image_id, lat, lon, n_px, sum_r, sum_g, sum_b)
+),
+polys as ({synth.admin_polygons_sql(box)})
+select cast(p.polygon_id as bigint) as polygon_id,
+       count(*) as n_images,
+       cast(sum(n_px) as bigint) as n_px,
+       round((cast(sum(sum_r) as bigint) + cast(sum(sum_g) as bigint)
+              + cast(sum(sum_b) as bigint)) / (3.0 * cast(sum(n_px) as bigint)), 6)
+         as avg_rgb
+from feats f join polys p
+  on f.lat >= p.minlat and f.lat <= p.maxlat
+ and f.lon >= p.minlon and f.lon <= p.maxlon
+group by p.polygon_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join + tile assignment at sf0.001."""
     return q_spatial_tile_join(spark, SF001)
@@ -1326,6 +1472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "places_build": q_places_build,
         "bulk_reverse_geocode": q_bulk_reverse_geocode,
         "embedding_near_dup": q_embedding_near_dup,
+        "rasterize_pixels": q_rasterize_pixels,
+        "vectorize_area": q_vectorize_area,
+        "zonal_stats": q_zonal_stats,
     }
 
 
@@ -1370,4 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "places_build": sql_places_build(),
         "bulk_reverse_geocode": sql_bulk_reverse_geocode(),
         "embedding_near_dup": sql_embedding_near_dup(),
+        "rasterize_pixels": sql_rasterize_pixels(),
+        "vectorize_area": sql_vectorize_area(),
+        "zonal_stats": sql_zonal_stats(),
     }

@@ -1,0 +1,470 @@
+"""Raster <-> vector conversion + zonal statistics on the engine's cell grid.
+
+The north rule names "raster<->vector" alongside PIP and kNN as part of the
+spatial engine. The reference has no raster mode (its R-tree serves vector
+queries only — pkg/datastructure/rtree.go), so this module defines the
+capability Spark-first on the same hierarchical grid the joins use
+(functions/cells.py):
+
+- **vector -> raster** (`rasterize_polygons`): each polygon becomes per-tile
+  bit masks on a globally-aligned pixel lattice. A tile at resolution ``res``
+  with ``px = 2**e`` pixels per side is exactly the set of grid cells at
+  resolution ``res + e`` — pixel (i, j) of tile (ix, iy) is global lattice
+  cell (ix*px + i, iy*px + j), so rasters from different jobs/resolutions
+  stay mutually aligned (the property H3/S2 give real pipelines).
+  Scale shape: the classified cover's FULL tiles (entirely interior) take a
+  constant all-ones mask with NO point-in-polygon work; only boundary
+  (PARTIAL) tiles run the vectorized winding-number lattice test, so
+  compute scales with polygon PERIMETER while output scales with area —
+  same cost law as the PIP join itself (operators/spatial_join.py).
+
+- **raster -> vector** (`vectorize_masks`): exact boundary polygonization of
+  the set-pixel union, distributed in three steps:
+    1. per-tile numpy pass emits only LOCALLY-UNMATCHED directed boundary
+       edges (interior edges cancel inside the tile, so shuffled rows scale
+       with perimeter + tile borders, never area);
+    2. one groupBy cancels the remaining opposite-direction edge pairs that
+       straddle tile borders (the halo exchange, done as aggregation —
+       globally-aligned lattice coordinates mean matching edges collide on
+       the same key with no stencil join);
+    3. per-polygon applyInPandas chains surviving edges into closed rings
+       (left-turn preference at pinch corners), CCW outer rings / CW holes,
+       collinear runs merged. Ring work is bounded by polygon perimeter.
+  Exactness invariant (tested + DuckDB-oracled): the shoelace area of the
+  extracted rings equals the set-pixel count exactly (in 2x pixel units),
+  and re-rasterizing the rings reproduces the input masks bit-for-bit.
+
+- **zonal statistics** (`image_zonal_stats`): the raster(image) x
+  vector(polygon) aggregate — decoded pixel-channel sums per image
+  (exact int64, Arrow-batched) joined to zones via the PIP spatial join,
+  then one groupBy per zone. Sums stay integers until a single final
+  division so the DuckDB oracle twin matches bit-for-bit after round(6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions import geometry as G
+from .spatial_join import classified_cover, spatial_join, with_bbox
+
+# vertex pack: v = x * VPACK + y; lattice coords < 2**30 at res+e <= 28
+VPACK = 2**32
+
+
+def _check_px(px: int) -> int:
+    e = px.bit_length() - 1
+    if px < 8 or (1 << e) != px:
+        raise ValueError("px must be a power of two >= 8")
+    return e
+
+
+def pixel_size_deg(res: int, px: int) -> float:
+    """Edge length of one raster pixel in degrees (= cell size at res+e)."""
+    return C.cell_size_deg(res + _check_px(px))
+
+
+def rasterize_polygons(
+    polygons: DataFrame,
+    res: int = C.TILE_RES,
+    px: int = 16,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Vector -> raster: (polygon_id, cell_id, n_set, mask).
+
+    ``mask`` is px*px bits packed row-major (bit k = j*px + i set iff the
+    center of pixel column i, row j is inside the polygon; big-endian bit
+    order within bytes, numpy packbits layout). Row j runs south->north
+    (ascending latitude), column i west->east.
+
+    Inside-ness is the engine's winding-number semantics including the
+    reference's segment-bbox boundary quirk (geometry.go:102-106 — see
+    functions/geometry.winding_number), so a raster agrees exactly with the
+    PIP join on the same polygon.
+
+    FULL cover tiles (entirely interior, classified by
+    spatial_join.classified_cover) emit a constant all-ones mask with no
+    lattice test; only PARTIAL tiles evaluate pixel centers, Arrow-batched
+    and numpy-vectorized per tile. Rings ship as one broadcast dict (same
+    dim assumption as refine_pip; polygon dims beyond broadcast size should
+    rasterize per sub-region).
+    """
+    e = _check_px(px)
+    size_p = C.cell_size_deg(res + e)
+    n_bytes = px * px // 8
+    spark = polygons.sparkSession
+
+    cover = classified_cover(polygons, res)
+    full_mask = bytes([0xFF]) * n_bytes
+
+    full_part = cover.filter(F.col("full")).select(
+        "polygon_id",
+        "cell_id",
+        F.lit(px * px).alias("n_set"),
+        F.lit(full_mask).alias("mask"),
+    )
+
+    ring_rows = polygons.select("polygon_id", "ring_lat", "ring_lon").collect()
+    rings = {
+        r["polygon_id"]: G.close_ring(
+            np.array(r["ring_lat"]), np.array(r["ring_lon"])
+        )
+        for r in ring_rows
+    }
+    bc = spark.sparkContext.broadcast(rings)
+
+    def raster_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring_map = bc.value
+        ii = np.arange(px, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for pid, cell in zip(pdf["polygon_id"], pdf["cell_id"]):
+                rl, rn = ring_map[pid]
+                ix = int((cell % C.RES_BITS_SHIFT) // C.IX_SHIFT)
+                iy = int(cell % C.IX_SHIFT)
+                # pixel centers on the GLOBAL lattice — the exact formula is
+                # mirrored in sql_raster_pixels (DuckDB oracle twin)
+                lon_c = ((ix * px + ii) + 0.5) * size_p - 180.0
+                lat_c = ((iy * px + ii) + 0.5) * size_p - 90.0
+                gy, gx = np.meshgrid(lat_c, lon_c, indexing="ij")
+                inside = (
+                    G.winding_number(gy.ravel(), gx.ravel(), rl, rn) != 0
+                ).reshape(px, px)
+                n_set = int(inside.sum())
+                out.append((int(pid), int(cell), n_set, np.packbits(inside).tobytes()))
+            yield pd.DataFrame(
+                out, columns=["polygon_id", "cell_id", "n_set", "mask"]
+            )
+
+    partial_part = (
+        cover.filter(~F.col("full"))
+        .select("polygon_id", "cell_id")
+        .mapInPandas(
+            raster_partial,
+            schema="polygon_id long, cell_id long, n_set int, mask binary",
+        )
+    )
+    out = full_part.unionByName(partial_part)
+    if drop_empty:
+        out = out.filter(F.col("n_set") > 0)
+    return out
+
+
+def raster_pixels(raster: DataFrame, px: int) -> DataFrame:
+    """Explode masks into set-pixel rows (polygon_id, cell_id, pixel_idx) —
+    pure Column arithmetic over the hex of the mask (no Python per row)."""
+    _check_px(px)
+    return (
+        raster.withColumn("_hex", F.hex("mask"))
+        .select(
+            "polygon_id",
+            "cell_id",
+            "_hex",
+            F.explode(F.sequence(F.lit(0), F.lit(px * px - 1))).alias("k"),
+        )
+        .filter(
+            F.expr(
+                "(shiftright(cast(conv(substr(_hex, (k div 8) * 2 + 1, 2), 16, 10)"
+                " as int), 7 - (k % 8)) & 1) = 1"
+            )
+        )
+        .select(
+            "polygon_id", "cell_id", F.col("k").cast("int").alias("pixel_idx")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster -> vector
+# ---------------------------------------------------------------------------
+
+def boundary_edges(raster: DataFrame, px: int) -> DataFrame:
+    """Directed boundary edges of the set-pixel union, per polygon, on the
+    global lattice: (polygon_id, ax, ay, bx, by), unit-length, axis-aligned,
+    interior on the LEFT of travel (CCW outer loops / CW holes).
+
+    Edges interior to a tile cancel locally in numpy; a tile-border edge is
+    emitted whenever the neighboring pixel lies outside the tile — if the
+    adjacent tile's pixel is set, that tile emits the reverse edge and the
+    pair annihilates in `cancel_edges`' groupBy. Shuffled rows therefore
+    scale with region perimeter plus tile borders, never area.
+    """
+    _check_px(px)
+
+    def edges_of_tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_pid, out = [], []
+            for pid, cell, mask in zip(
+                pdf["polygon_id"], pdf["cell_id"], pdf["mask"]
+            ):
+                m = np.unpackbits(
+                    np.frombuffer(mask, dtype=np.uint8), count=px * px
+                ).reshape(px, px).astype(bool)  # [j, i] row-major
+                if not m.any():
+                    continue
+                ix = int((cell % C.RES_BITS_SHIFT) // C.IX_SHIFT)
+                iy = int(cell % C.IX_SHIFT)
+                x0, y0 = ix * px, iy * px
+                pad = np.zeros((px + 2, px + 2), dtype=bool)
+                pad[1:-1, 1:-1] = m
+                # neighbor-unset tests (within tile; outside-tile = unset)
+                below = m & ~pad[:-2, 1:-1]
+                above = m & ~pad[2:, 1:-1]
+                left = m & ~pad[1:-1, :-2]
+                right = m & ~pad[1:-1, 2:]
+                for cond, (dax, day, dbx, dby) in (
+                    (below, (0, 0, 1, 0)),   # bottom: (x,y)   -> (x+1,y)
+                    (right, (1, 0, 1, 1)),   # right:  (x+1,y) -> (x+1,y+1)
+                    (above, (1, 1, 0, 1)),   # top:  (x+1,y+1) -> (x,y+1)
+                    (left, (0, 1, 0, 0)),    # left:   (x,y+1) -> (x,y)
+                ):
+                    jj, ii2 = np.nonzero(cond)
+                    if len(jj) == 0:
+                        continue
+                    gx, gy = x0 + ii2, y0 + jj
+                    out.append(
+                        np.stack(
+                            [gx + dax, gy + day, gx + dbx, gy + dby], axis=1
+                        )
+                    )
+                    out_pid.append(np.full(len(jj), pid, dtype=np.int64))
+            if not out:
+                yield pd.DataFrame(
+                    columns=["polygon_id", "ax", "ay", "bx", "by"]
+                ).astype(np.int64)
+                continue
+            arr = np.concatenate(out)
+            yield pd.DataFrame(
+                {
+                    "polygon_id": np.concatenate(out_pid),
+                    "ax": arr[:, 0],
+                    "ay": arr[:, 1],
+                    "bx": arr[:, 2],
+                    "by": arr[:, 3],
+                }
+            )
+
+    return raster.select("polygon_id", "cell_id", "mask").mapInPandas(
+        edges_of_tile,
+        schema="polygon_id long, ax long, ay long, bx long, by long",
+    )
+
+
+def cancel_edges(edges: DataFrame) -> DataFrame:
+    """Annihilate opposite-direction duplicate edges across tile borders:
+    one groupBy on the undirected edge key; an interior edge appears exactly
+    twice (once per adjacent set pixel) and is dropped, a true boundary edge
+    appears once and survives with its direction."""
+    va = F.col("ax") * F.lit(VPACK) + F.col("ay")
+    vb = F.col("bx") * F.lit(VPACK) + F.col("by")
+    keyed = edges.withColumns(
+        {"_k1": F.least(va, vb), "_k2": F.greatest(va, vb)}
+    )
+    g = keyed.groupBy("polygon_id", "_k1", "_k2").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("ax", "ay", "bx", "by")).alias("_e"),
+    )
+    return g.filter(F.col("_c") == 1).select(
+        "polygon_id",
+        F.col("_e.ax").alias("ax"),
+        F.col("_e.ay").alias("ay"),
+        F.col("_e.bx").alias("bx"),
+        F.col("_e.by").alias("by"),
+    )
+
+
+_RING_SCHEMA = (
+    "polygon_id long, ring_id int, area2 long, "
+    "xs array<long>, ys array<long>, "
+    "ring_lat array<double>, ring_lon array<double>"
+)
+
+
+def chain_rings(edges: DataFrame, res: int, px: int) -> DataFrame:
+    """Chain surviving directed edges into closed rings per polygon.
+
+    Deterministic: walks start from the smallest unused edge; at a pinch
+    vertex (two diagonal pixels touching at a corner — 2 outgoing edges)
+    the LEFT turn relative to the incoming direction is preferred, which
+    splits corner-touching components into separate non-crossing rings.
+    Collinear runs are merged; rings are emitted closed (first == last).
+    area2 is the exact integer shoelace (2x signed area in pixel units):
+    positive = CCW outer ring, negative = hole. Lattice corner (x, y) maps
+    to lon = x*s - 180, lat = y*s - 90 with s the pixel size in degrees.
+    """
+    size_p = C.cell_size_deg(res + _check_px(px))
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["polygon_id"].iloc[0])
+        es = sorted(
+            zip(
+                pdf["ax"].astype(int),
+                pdf["ay"].astype(int),
+                pdf["bx"].astype(int),
+                pdf["by"].astype(int),
+            )
+        )
+        out_map: dict[tuple, list] = {}
+        for ax, ay, bx, by in es:
+            out_map.setdefault((ax, ay), []).append((bx, by))
+        for v in out_map.values():
+            v.sort()
+        used: set[tuple] = set()
+        rows = []
+        for ax, ay, bx, by in es:
+            if (ax, ay, bx, by) in used:
+                continue
+            start = (ax, ay)
+            verts = [start]
+            cur = (ax, ay, bx, by)
+            area2 = 0
+            while True:
+                used.add(cur)
+                a = (cur[0], cur[1])
+                v = (cur[2], cur[3])
+                area2 += a[0] * v[1] - v[0] * a[1]
+                if v == start:
+                    break
+                verts.append(v)
+                cands = [
+                    w for w in out_map.get(v, ())
+                    if (v[0], v[1], w[0], w[1]) not in used
+                ]
+                if len(cands) == 1:
+                    nxt = cands[0]
+                else:
+                    d = (v[0] - a[0], v[1] - a[1])
+                    for pref in (
+                        (-d[1], d[0]),   # left turn
+                        d,               # straight
+                        (d[1], -d[0]),   # right turn
+                        (-d[0], -d[1]),  # reverse (degenerate pinch)
+                    ):
+                        nxt = (v[0] + pref[0], v[1] + pref[1])
+                        if nxt in cands:
+                            break
+                    else:  # pragma: no cover - cancelled edges always chain
+                        raise ValueError(f"open boundary at {v} (polygon {pid})")
+                cur = (v[0], v[1], nxt[0], nxt[1])
+            # merge collinear runs (circular)
+            n = len(verts)
+            keep = []
+            for i in range(n):
+                p0, p1, p2 = verts[i - 1], verts[i], verts[(i + 1) % n]
+                d0 = (p1[0] - p0[0], p1[1] - p0[1])
+                d1 = (p2[0] - p1[0], p2[1] - p1[1])
+                if d0[0] * d1[1] - d0[1] * d1[0] != 0:
+                    keep.append(p1)
+            keep.append(keep[0])  # close
+            xs = [int(p[0]) for p in keep]
+            ys = [int(p[1]) for p in keep]
+            rows.append(
+                (
+                    pid,
+                    len(rows),
+                    area2,
+                    xs,
+                    ys,
+                    [y * size_p - 90.0 for y in ys],
+                    [x * size_p - 180.0 for x in xs],
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "polygon_id", "ring_id", "area2",
+                "xs", "ys", "ring_lat", "ring_lon",
+            ],
+        )
+
+    return edges.groupBy("polygon_id").applyInPandas(chain, schema=_RING_SCHEMA)
+
+
+def vectorize_masks(raster: DataFrame, res: int, px: int) -> DataFrame:
+    """Raster -> vector: boundary rings of the set-pixel union per polygon.
+
+    Output: (polygon_id, ring_id, area2, xs, ys, ring_lat, ring_lon).
+    Invariant: sum(area2) over a polygon's rings == 2 * total set pixels
+    (outer rings positive, holes negative) — exact integers.
+    """
+    return chain_rings(cancel_edges(boundary_edges(raster, px)), res, px)
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics: raster(image) x vector(polygon)
+# ---------------------------------------------------------------------------
+
+IMAGE_SUMS_SCHEMA = (
+    "image_id string, lat double, lon double, "
+    "n_px long, sum_r long, sum_g long, sum_b long"
+)
+
+
+def image_pixel_sums(images: DataFrame) -> DataFrame:
+    """Exact per-image channel sums from DECODED pixels (int64 — no float
+    accumulation, so zones aggregate bit-exactly in any order). Input needs
+    (image_id, bytes, fmt, lat, lon); Arrow-batched decode via the pure-numpy
+    codecs in functions/images.py."""
+    from ..functions import images as I
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                p = I.decode(r.bytes, r.fmt).astype(np.int64)
+                s = p.sum(axis=(0, 1))
+                rows.append(
+                    (
+                        r.image_id, r.lat, r.lon,
+                        int(p.shape[0] * p.shape[1]),
+                        int(s[0]), int(s[1]), int(s[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "lat", "lon",
+                    "n_px", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt", "lat", "lon").mapInPandas(
+        sums, schema=IMAGE_SUMS_SCHEMA
+    )
+
+
+def image_zonal_stats(
+    images: DataFrame, polygons: DataFrame, res: int = C.JOIN_RES
+) -> DataFrame:
+    """Per-zone statistics of decoded image pixels: PIP-join image locations
+    to polygons (cell-cover join + exact refine — operators/spatial_join),
+    then ONE groupBy per zone over integer sums. The single float division
+    happens last (round 6dp; identical expression in the DuckDB twin)."""
+    feats = image_pixel_sums(images)
+    joined = spatial_join(feats, with_bbox(polygons), res=res)
+    return (
+        joined.groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_px").alias("n_px"),
+            F.sum("sum_r").alias("_sr"),
+            F.sum("sum_g").alias("_sg"),
+            F.sum("sum_b").alias("_sb"),
+        )
+        .select(
+            "polygon_id",
+            "n_images",
+            "n_px",
+            F.round(
+                (F.col("_sr") + F.col("_sg") + F.col("_sb"))
+                / (F.lit(3.0) * F.col("n_px")),
+                6,
+            ).alias("avg_rgb"),
+        )
+    )
