@@ -61,15 +61,20 @@ def run_stage(
     input_snapshot: str = "",
     cell_col: str | None = None,
     force: bool = False,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Execute a stage with resume semantics: if its output + lineage are
     committed, read them back instead of recomputing. Returns the stage
-    output DataFrame either way."""
+    output DataFrame either way. ``partition_by`` writes the stage output
+    hive-partitioned on that column (prunable reads downstream)."""
     out_path = f"{base}/{stage}"
     if stage_committed(base, stage) and not force:
         return spark.read.parquet(out_path)
     df = build()
-    df.write.mode("overwrite").parquet(out_path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(out_path)
     materialized = spark.read.parquet(out_path)
     lineage_of(materialized, stage, input_snapshot, cell_col).write.mode(
         "overwrite"

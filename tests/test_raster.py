@@ -153,6 +153,33 @@ def test_cross_tile_rectangle_stitches(spark):
     assert sorted(zip(r["xs"], r["ys"]))[0] == (x0, y0)
 
 
+def test_raster_pipeline_job_lineage_resume(spark, tmp_path):
+    """jobs/raster_pipeline.py: tile-partitioned mask write + lineage commit
+    per stage, rings derived from the COMMITTED masks, clean resume."""
+    from jobs.raster_pipeline import run
+    from osm_search_spark.plans import lineage
+
+    polys_path = str(tmp_path / "polys")
+    synth.concave_polygons_df(spark).write.parquet(polys_path)
+    out = str(tmp_path / "raster")
+
+    masks, rings = run(spark, polys_path, out, res=RES, px=PX)
+    assert lineage.stage_committed(out, "masks")
+    assert lineage.stage_committed(out, "rings")
+    assert lineage.verify_stage(spark, out, "masks")
+    assert lineage.verify_stage(spark, out, "rings")
+    # hive-partitioned on the coarse parent cell
+    assert any(
+        p.name.startswith("tile_coarse=") for p in (tmp_path / "raster" / "masks").iterdir()
+    )
+    n_set = masks.agg(F.sum("n_set")).collect()[0][0]
+    area2 = rings.agg(F.sum("area2")).collect()[0][0]
+    assert area2 == 2 * n_set
+    # resume: committed stages read back, same contents
+    masks2, rings2 = run(spark, polys_path, out, res=RES, px=PX)
+    assert masks2.count() == masks.count() and rings2.count() == rings.count()
+
+
 def test_zonal_stats_matches_driver_compute(spark):
     from osm_search_spark.functions import images as I
     from osm_search_spark.sources import images as img_src

@@ -7,7 +7,8 @@
 Same protocol as tools/bench_scaling.py: fresh subprocess per level, same
 input, checksum equality, efficiency = T(4N)/(4*T(N)).
 
-Usage: python tools/scaling_multi.py [N]
+Usage: python tools/scaling_multi.py [N] [text|image ...]
+(default: both workloads; name one to re-measure it alone)
 """
 
 from __future__ import annotations
@@ -83,8 +84,9 @@ def run_level(kind: str, cpus: int) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    kinds = tuple(sys.argv[2:]) or ("text", "image")
     results = {}
-    for kind in ("text", "image"):
+    for kind in kinds:
         lo, hi = run_level(kind, n), run_level(kind, 4 * n)
         assert lo["checksum"] == hi["checksum"] and lo["rows"] == hi["rows"]
         results[kind] = dict(
