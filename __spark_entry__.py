@@ -350,12 +350,11 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs)
 
 
-def sql_lsh_pairs() -> str:
+def _lsh_pairs_cte() -> str:
     # mirrors lsh_candidate_pairs' DEFAULT mega-bucket cap (band buckets
     # larger than DEFAULT_LSH_MAX_BUCKET are excluded from the self-join)
     cap = dedup.DEFAULT_LSH_MAX_BUCKET
-    return f"""
-with sigs as ({dedup.minhash_sql('documents')}),
+    return f"""sigs as ({dedup.minhash_sql('documents')}),
 k1 as (select h0, h1 from sigs group by h0, h1 having count(*) <= {cap}),
 k2 as (select h2, h3 from sigs group by h2, h3 having count(*) <= {cap}),
 b1 as (
@@ -369,8 +368,14 @@ b2 as (
   from sigs a join sigs b
     on a.h2 = b.h2 and a.h3 = b.h3 and a.doc_id < b.doc_id
   join k2 on a.h2 = k2.h2 and a.h3 = k2.h3
-)
-select doc_a, doc_b from (select * from b1 union select * from b2)
+),
+lsh_pairs as (select doc_a, doc_b from (select * from b1 union select * from b2))"""
+
+
+def sql_lsh_pairs() -> str:
+    return f"""
+with {_lsh_pairs_cte()}
+select doc_a, doc_b from lsh_pairs
 """
 
 
@@ -403,6 +408,92 @@ select doc_a, doc_b, round(jv, 6) as jaccard from (
   join sizes sa on sa.doc_id = doc_a
   join sizes sb on sb.doc_id = doc_b
 ) where jv >= 0.2
+"""
+
+
+# Q12d: duplicate-cluster assignment — connected components over the LSH
+# candidate pairs (min-label propagation + pointer jumping, dedup.py); the
+# DuckDB twin derives components INDEPENDENTLY via a recursive
+# transitive-closure CTE, so the gate checks the distributed fixpoint
+# against a from-first-principles reachability computation.
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+
+
+def sql_dedup_components() -> str:
+    return f"""
+with recursive {_lsh_pairs_cte()},
+edges as (
+  select doc_a as ea, doc_b as eb from lsh_pairs
+  union all
+  select doc_b as ea, doc_a as eb from lsh_pairs
+),
+cnodes as (select distinct ea as node from edges),
+reach(src, node) as (
+  select node, node from cnodes
+  union
+  select r.src, e.eb from reach r join edges e on e.ea = r.node
+)
+select src as doc_id, min(node) as component_id from reach group by src
+"""
+
+
+# Q12e: deterministic train/val/test split (salted-md5 buckets — the only
+# split kind that survives corpus growth/reprocessing; operators/curation.py)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import curation
+
+    return curation.assign_split(_docs(spark, sf_dir)).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+def sql_split_assign() -> str:
+    from osm_search_spark.operators import curation
+
+    b = curation.split_bucket_sql("doc_id")
+    return f"""
+select doc_id, {b} as bucket,
+       case when {b} < 8000 then 'train'
+            when {b} < 9000 then 'val'
+            else 'test' end as split
+from documents
+"""
+
+
+# Q12f: PII redaction (emails + long digit runs; RE2-compatible patterns so
+# the DuckDB twin runs the IDENTICAL regex text). Contact strings are
+# synthesized deterministically from doc_id on BOTH sides so the redactor
+# has real spans to scrub.
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ref "),
+        (F.col("doc_id") * F.lit(987654321) + F.lit(123456789)).cast("string"),
+    )
+    return docs.select("doc_id", curation.redact_pii(contact).alias("clean"))
+
+
+def sql_pii_redact() -> str:
+    from osm_search_spark.operators import curation
+
+    contact = (
+        "text || ' contact user' || cast(doc_id as varchar)"
+        " || '@mail.example.com ref '"
+        " || cast(doc_id * 987654321 + 123456789 as varchar)"
+    )
+    return f"""
+select doc_id, {curation.redact_sql(contact)} as clean
+from documents
 """
 
 
@@ -1475,6 +1566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_pixels": q_rasterize_pixels,
         "vectorize_area": q_vectorize_area,
         "zonal_stats": q_zonal_stats,
+        "dedup_components": q_dedup_components,
+        "split_assign": q_split_assign,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1522,4 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_pixels": sql_rasterize_pixels(),
         "vectorize_area": sql_vectorize_area(),
         "zonal_stats": sql_zonal_stats(),
+        "dedup_components": sql_dedup_components(),
+        "split_assign": sql_split_assign(),
+        "pii_redact": sql_pii_redact(),
     }

@@ -262,3 +262,86 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs:
+    (node, component_id) with component_id = the MIN node id in the
+    component — the step a real dedup pipeline needs between candidate
+    pairs (lsh_candidate_pairs / ngram_jaccard_pairs / phash_near_dup) and
+    "keep one canonical doc per duplicate cluster".
+
+    Min-label propagation with POINTER JUMPING: each round every node takes
+    the min label among itself and its neighbors, then compresses through
+    its label's own label (label ids are node ids, so the lookup is a self
+    join). Propagation alone needs diameter rounds; the jump makes label
+    distance roughly double per round -> O(log d) rounds (the standard
+    Spark CC recipe; large-star/small-star is the same idea edge-side).
+    Every round is ONE join + groupBy min + ONE compression join, and the
+    labels frame is localCheckpoint(eager=True)'d so lineage stays flat
+    across rounds (CLAUDE.md round-2 rule). Convergence is detected on the
+    checkpointed frame (no extra shuffle); raises if max_iter rounds do not
+    converge (duplicate clusters have tiny diameters in practice).
+    """
+    # checkpoint the edge frame once: the upstream pair plan (an LSH band
+    # self-join, typically) must not re-execute every round
+    sym = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nmin, labels["node"] == nmin["dst"], "left")
+            .select(
+                labels["node"],
+                labels["comp"].alias("prev"),
+                F.least(
+                    labels["comp"], F.coalesce("nmin", labels["comp"])
+                ).alias("comp1"),
+            )
+        )
+        lut = labels.select(
+            F.col("node").alias("lnode"), F.col("comp").alias("lcomp")
+        )
+        labels = (
+            stepped.join(lut, stepped["comp1"] == lut["lnode"])
+            .select(
+                "node",
+                "prev",
+                F.least("comp1", "lcomp").alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            labels.filter(F.col("comp") != F.col("prev")).limit(1).count() == 0
+        )
+        labels = labels.select("node", "comp")
+        if converged:
+            return labels.select(
+                "node", F.col("comp").alias("component_id")
+            )
+    raise ValueError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """(node, component_id, is_canonical): canonical = the min-id member of
+    each duplicate cluster (the doc a dedup pass keeps; the rest drop)."""
+    cc = connected_components(pairs)
+    return cc.withColumn("is_canonical", F.col("node") == F.col("component_id"))

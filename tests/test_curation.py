@@ -1,0 +1,53 @@
+"""Deterministic splits + PII redaction (operators/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_search_spark.operators import curation
+
+
+def test_split_deterministic_and_growth_stable(spark):
+    """A document's split never changes with corpus size, ordering, or
+    partitioning — the property hash-splits exist for."""
+    small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000, 1, 7).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in curation.assign_split(small).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in curation.assign_split(big).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+
+
+def test_split_proportions(spark):
+    df = curation.assign_split(
+        spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    )
+    frac = {
+        r["split"]: r["n"] / 20000
+        for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+
+
+def test_split_weights_validated(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        curation.assign_split(df, weights={"train": 0.5, "test": 0.4})
+
+
+def test_redact_pii_cases(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.co.uk today"),
+        (2, "acct 1234567890123 and short 12345 stay"),
+        (3, "two: a@b.io c.d@e-f.org"),
+        (4, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", curation.redact_pii("t").alias("c")).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "acct <NUM> and short 12345 stay"
+    assert got[3] == "two: <EMAIL> <EMAIL>"
+    assert got[4] == "clean text"

@@ -287,3 +287,43 @@ def test_ivfpq_topk_recall(spark):
     assert recall_all >= recall
     assert recall_all >= 0.8, recall_all
     indexed.unpersist()
+
+
+def test_connected_components_vs_union_find(spark):
+    """Distributed CC (min-label + pointer jumping) vs a driver union-find
+    on a graph with a long path (diameter 20 — exercises the jump), a star,
+    a triangle with a bridge, and isolated pairs."""
+    from osm_search_spark.operators.dedup import connected_components, dedup_clusters
+
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 120)]          # path, diam 20
+    edges += [(200, x) for x in range(201, 209)]            # star
+    edges += [(300, 301), (301, 302), (302, 300), (302, 303)]  # tri + bridge
+    edges += [(400, 401), (500, 501)]                       # isolated pairs
+    edges += [(120, 100)]                                   # close the path
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+    clusters = dedup_clusters(pairs).collect()
+    canon = {r["component_id"] for r in clusters if r["is_canonical"]}
+    assert canon == set(want.values())  # exactly one keeper per cluster
+    assert all((r["node"] == r["component_id"]) == r["is_canonical"] for r in clusters)
