@@ -1385,7 +1385,7 @@ def _concave_lattice_cte() -> str:
     lattice centers, same op order; see operators/raster.py docstring)."""
     res, px = _RAST_RES, _RAST_PX
     size = synth.dlit(C.cell_size_deg(res))
-    size_p = synth.dlit(C.cell_size_deg(res + 3))
+    size_p = synth.dlit(C.cell_size_deg(res + px.bit_length() - 1))
     nx, ny = 2 << res, 1 << res
     cross = "((rn[e+1]-rn[e])*(plat-rl[e]) - (plon-rn[e])*(rl[e+1]-rl[e]))"
     return f"""

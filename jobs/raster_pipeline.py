@@ -37,22 +37,23 @@ def run(
     polys = spark.read.parquet(polygons_path)
 
     def build_masks():
-        from pyspark.sql import functions as F  # noqa: F401
-
         rast = R.rasterize_polygons(polys, res=res, px=px)
         return rast.withColumn(
             "tile_coarse", C.cell_to_parent("cell_id", coarse_partition_res)
         ).repartitionByRange("cell_id")
 
+    # parameters ride in input_snapshot: a rerun with a different polygon
+    # layer / res / px REBUILDS instead of resuming stale geometry
+    params = f"|res={res}|px={px}"
     masks = lineage.run_stage(
         spark, out, "masks", build_masks,
-        input_snapshot=polygons_path, cell_col="cell_id",
+        input_snapshot=polygons_path + params, cell_col="cell_id",
         partition_by="tile_coarse", force=force,
     )
     rings = lineage.run_stage(
         spark, out, "rings",
         lambda: R.vectorize_masks(masks, res, px),
-        input_snapshot=f"{out}/masks", force=force,
+        input_snapshot=f"{out}/masks" + params, force=force,
     )
     return masks, rings
 

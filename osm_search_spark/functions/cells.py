@@ -190,6 +190,14 @@ def np_latlng_to_cell(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     return res * RES_BITS_SHIFT + ix * IX_SHIFT + iy
 
 
+def np_cell_ixy(cell) -> tuple:
+    """(ix, iy) integer grid coordinates of cell id(s) — the single source
+    of truth for the id unpacking (scalar or ndarray)."""
+    ix = (cell % RES_BITS_SHIFT) // IX_SHIFT
+    iy = cell % IX_SHIFT
+    return ix, iy
+
+
 def np_cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(minlat, minlon, maxlat, maxlon) per cell."""
     cell = np.asarray(cell, dtype=np.int64)

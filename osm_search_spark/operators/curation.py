@@ -59,10 +59,16 @@ def assign_split(
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError("split weights must sum to 1")
     out = df.withColumn("bucket", split_bucket(id_col, salt))
-    expr, acc = None, 0.0
+    expr, acc, prev_hi = None, 0.0, 0
     for name, w in weights.items():
         acc += w
         hi = round(acc * SPLIT_BUCKETS)
+        if hi <= prev_hi:  # weight below bucket granularity -> empty split
+            raise ValueError(
+                f"split {name!r} weight {w} rounds to an empty bucket range "
+                f"(< 1/{SPLIT_BUCKETS})"
+            )
+        prev_hi = hi
         cond = F.col("bucket") < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return out.withColumn("split", expr)

@@ -52,7 +52,12 @@ from pyspark.sql import functions as F
 
 from ..functions import cells as C
 from ..functions import geometry as G
-from .spatial_join import classified_cover, spatial_join, with_bbox
+from .spatial_join import (
+    AUTO_GROUPED_DIM_THRESHOLD,
+    classified_cover,
+    spatial_join,
+    with_bbox,
+)
 
 # vertex pack: v = x * VPACK + y; lattice coords < 2**30 at res+e <= 28
 VPACK = 2**32
@@ -70,11 +75,27 @@ def pixel_size_deg(res: int, px: int) -> float:
     return C.cell_size_deg(res + _check_px(px))
 
 
+def _tile_mask(rl, rn, cell: int, px: int, size_p: float):
+    """Lattice mask of one tile vs one closed ring: (n_set, packed bytes).
+    Pixel centers use the GLOBAL lattice formula mirrored in the DuckDB
+    oracle twin (sql_rasterize_pixels)."""
+    ix, iy = C.np_cell_ixy(int(cell))
+    ii = np.arange(px, dtype=np.int64)
+    lon_c = ((ix * px + ii) + 0.5) * size_p - 180.0
+    lat_c = ((iy * px + ii) + 0.5) * size_p - 90.0
+    gy, gx = np.meshgrid(lat_c, lon_c, indexing="ij")
+    inside = (
+        G.winding_number(gy.ravel(), gx.ravel(), rl, rn) != 0
+    ).reshape(px, px)
+    return int(inside.sum()), np.packbits(inside).tobytes()
+
+
 def rasterize_polygons(
     polygons: DataFrame,
     res: int = C.TILE_RES,
     px: int = 16,
     drop_empty: bool = True,
+    dim_threshold: int | None = AUTO_GROUPED_DIM_THRESHOLD,
 ) -> DataFrame:
     """Vector -> raster: (polygon_id, cell_id, n_set, mask).
 
@@ -92,15 +113,24 @@ def rasterize_polygons(
     spatial_join.classified_cover) emit a constant all-ones mask with no
     lattice test; only PARTIAL tiles evaluate pixel centers, Arrow-batched
     and numpy-vectorized per tile. Rings ship as one broadcast dict (same
-    dim assumption as refine_pip; polygon dims beyond broadcast size should
-    rasterize per sub-region).
+    dim assumption as refine_pip); above ``dim_threshold`` polygons the
+    operator auto-falls back to a grouped applyInPandas plan that never
+    collects rings to the driver (same policy as spatial_join — the probe
+    is a bounded limit+count, never a full count).
     """
     e = _check_px(px)
     size_p = C.cell_size_deg(res + e)
     n_bytes = px * px // 8
     spark = polygons.sparkSession
 
-    cover = classified_cover(polygons, res)
+    if dim_threshold is not None:
+        n_probe = polygons.select("polygon_id").limit(dim_threshold + 1).count()
+        if n_probe > dim_threshold:
+            return _rasterize_grouped(polygons, res, px, drop_empty)
+
+    # persist: the FULL and PARTIAL branches below both read the cover, and
+    # it is small (one row per polygon x bbox cell)
+    cover = classified_cover(polygons, res).persist()
     full_mask = bytes([0xFF]) * n_bytes
 
     full_part = cover.filter(F.col("full")).select(
@@ -121,23 +151,12 @@ def rasterize_polygons(
 
     def raster_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ring_map = bc.value
-        ii = np.arange(px, dtype=np.int64)
         for pdf in batches:
             out = []
             for pid, cell in zip(pdf["polygon_id"], pdf["cell_id"]):
                 rl, rn = ring_map[pid]
-                ix = int((cell % C.RES_BITS_SHIFT) // C.IX_SHIFT)
-                iy = int(cell % C.IX_SHIFT)
-                # pixel centers on the GLOBAL lattice — the exact formula is
-                # mirrored in sql_raster_pixels (DuckDB oracle twin)
-                lon_c = ((ix * px + ii) + 0.5) * size_p - 180.0
-                lat_c = ((iy * px + ii) + 0.5) * size_p - 90.0
-                gy, gx = np.meshgrid(lat_c, lon_c, indexing="ij")
-                inside = (
-                    G.winding_number(gy.ravel(), gx.ravel(), rl, rn) != 0
-                ).reshape(px, px)
-                n_set = int(inside.sum())
-                out.append((int(pid), int(cell), n_set, np.packbits(inside).tobytes()))
+                n_set, mask = _tile_mask(rl, rn, cell, px, size_p)
+                out.append((int(pid), int(cell), n_set, mask))
             yield pd.DataFrame(
                 out, columns=["polygon_id", "cell_id", "n_set", "mask"]
             )
@@ -154,6 +173,44 @@ def rasterize_polygons(
     if drop_empty:
         out = out.filter(F.col("n_set") > 0)
     return out
+
+
+def _rasterize_grouped(
+    polygons: DataFrame, res: int, px: int, drop_empty: bool
+) -> DataFrame:
+    """Large-dim rasterization: rings never leave the executors. The
+    classified cover co-groups with the ring arrays by polygon_id via
+    applyInPandas (one shuffle; ring arrays ride once per polygon group),
+    FULL tiles still skip the lattice test inside the kernel."""
+    size_p = C.cell_size_deg(res + _check_px(px))
+    n_bytes = px * px // 8
+    full_mask = bytes([0xFF]) * n_bytes
+    cover = classified_cover(polygons, res)
+    joined = cover.join(
+        polygons.select("polygon_id", "ring_lat", "ring_lon"), "polygon_id"
+    )
+
+    def raster_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rl, rn = G.close_ring(
+            np.array(pdf["ring_lat"].iloc[0]), np.array(pdf["ring_lon"].iloc[0])
+        )
+        pid = int(pdf["polygon_id"].iloc[0])
+        out = []
+        for cell, full in zip(pdf["cell_id"], pdf["full"]):
+            if full:
+                out.append((pid, int(cell), px * px, full_mask))
+            else:
+                n_set, mask = _tile_mask(rl, rn, cell, px, size_p)
+                if n_set or not drop_empty:
+                    out.append((pid, int(cell), n_set, mask))
+        return pd.DataFrame(
+            out, columns=["polygon_id", "cell_id", "n_set", "mask"]
+        )
+
+    return joined.groupBy("polygon_id").applyInPandas(
+        raster_group,
+        schema="polygon_id long, cell_id long, n_set int, mask binary",
+    )
 
 
 def raster_pixels(raster: DataFrame, px: int) -> DataFrame:
@@ -208,8 +265,7 @@ def boundary_edges(raster: DataFrame, px: int) -> DataFrame:
                 ).reshape(px, px).astype(bool)  # [j, i] row-major
                 if not m.any():
                     continue
-                ix = int((cell % C.RES_BITS_SHIFT) // C.IX_SHIFT)
-                iy = int(cell % C.IX_SHIFT)
+                ix, iy = C.np_cell_ixy(int(cell))
                 x0, y0 = ix * px, iy * px
                 pad = np.zeros((px + 2, px + 2), dtype=bool)
                 pad[1:-1, 1:-1] = m

@@ -69,7 +69,17 @@ def run_stage(
     hive-partitioned on that column (prunable reads downstream)."""
     out_path = f"{base}/{stage}"
     if stage_committed(base, stage) and not force:
-        return spark.read.parquet(out_path)
+        # resume guard: the committed output is only valid for the SAME
+        # input snapshot / parameters it was built from (callers encode
+        # parameters into input_snapshot, e.g. "path|res=14|px=16") — a
+        # rerun with changed inputs rebuilds instead of silently reusing
+        rec = (
+            spark.read.parquet(f"{base}/_lineage/{stage}")
+            .select("input_snapshot")
+            .first()
+        )
+        if rec is None or rec["input_snapshot"] == input_snapshot:
+            return spark.read.parquet(out_path)
     df = build()
     writer = df.write.mode("overwrite")
     if partition_by:

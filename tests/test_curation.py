@@ -33,6 +33,10 @@ def test_split_weights_validated(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         curation.assign_split(df, weights={"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError, match="empty bucket range"):
+        curation.assign_split(
+            df, weights={"train": 0.99995, "test": 0.00005}
+        )
 
 
 def test_redact_pii_cases(spark):

@@ -153,6 +153,39 @@ def test_cross_tile_rectangle_stitches(spark):
     assert sorted(zip(r["xs"], r["ys"]))[0] == (x0, y0)
 
 
+def test_rasterize_grouped_parity(spark, concave_raster):
+    """The >threshold grouped plan (rings never collected) produces the
+    identical raster as the broadcast path."""
+    polys, rast = concave_raster
+    grouped = R.rasterize_polygons(polys, res=RES, px=PX, dim_threshold=1)
+    want = {
+        (r["polygon_id"], r["cell_id"]): (r["n_set"], bytes(r["mask"]))
+        for r in rast.collect()
+    }
+    got = {
+        (r["polygon_id"], r["cell_id"]): (r["n_set"], bytes(r["mask"]))
+        for r in grouped.collect()
+    }
+    assert got == want
+
+
+def test_raster_pipeline_param_change_rebuilds(spark, tmp_path):
+    """Resume guard: rerunning with different px must NOT reuse the
+    committed masks (stale geometry) — it rebuilds."""
+    from jobs.raster_pipeline import run
+
+    polys_path = str(tmp_path / "polys")
+    synth.concave_polygons_df(spark).write.parquet(polys_path)
+    out = str(tmp_path / "raster")
+    masks8, _ = run(spark, polys_path, out, res=RES, px=8)
+    n8 = masks8.agg(F.sum("n_set")).collect()[0][0]
+    masks16, rings16 = run(spark, polys_path, out, res=RES, px=16)
+    n16 = masks16.agg(F.sum("n_set")).collect()[0][0]
+    assert n16 != n8  # rebuilt at the new pixel density, not resumed
+    area2 = rings16.agg(F.sum("area2")).collect()[0][0]
+    assert area2 == 2 * n16  # rings stage also rebuilt consistently
+
+
 def test_raster_pipeline_job_lineage_resume(spark, tmp_path):
     """jobs/raster_pipeline.py: tile-partitioned mask write + lineage commit
     per stage, rings derived from the COMMITTED masks, clean resume."""
