@@ -208,6 +208,13 @@ def test_raster_pipeline_job_lineage_resume(spark, tmp_path):
     n_set = masks.agg(F.sum("n_set")).collect()[0][0]
     area2 = rings.agg(F.sum("area2")).collect()[0][0]
     assert area2 == 2 * n_set
+    # a coarse-cell predicate must prune hive partitions at the scan
+    one_coarse = masks.select("tile_coarse").first()[0]
+    pruned = spark.read.parquet(f"{out}/masks").filter(
+        F.col("tile_coarse") == one_coarse
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(tile_coarse" in plan
     # resume: committed stages read back, same contents
     masks2, rings2 = run(spark, polys_path, out, res=RES, px=PX)
     assert masks2.count() == masks.count() and rings2.count() == rings.count()
