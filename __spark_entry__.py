@@ -442,6 +442,17 @@ select src as doc_id, min(node) as component_id from reach group by src
 """
 
 
+# Q12g: winnowing fingerprints (MOSS sketch — positional partial-copy
+# detection the set-based MinHash misses; 60-bit md5-prefix hashes so the
+# DuckDB twin is bit-identical)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def sql_winnow() -> str:
+    return dedup.winnow_sql("documents")
+
+
 # Q12e: deterministic train/val/test split (salted-md5 buckets — the only
 # split kind that survives corpus growth/reprocessing; operators/curation.py)
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1569,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "split_assign": q_split_assign,
         "pii_redact": q_pii_redact,
+        "winnow_fingerprints": q_winnow,
     }
 
 
@@ -1619,4 +1631,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": sql_dedup_components(),
         "split_assign": sql_split_assign(),
         "pii_redact": sql_pii_redact(),
+        "winnow_fingerprints": sql_winnow(),
     }

@@ -345,3 +345,81 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     each duplicate cluster (the doc a dedup pass keeps; the rest drop)."""
     cc = connected_components(pairs)
     return cc.withColumn("is_canonical", F.col("node") == F.col("component_id"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document sketches (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-token shingle, slide a w-window over the hash
+    sequence, keep each window's minimum, dedup -> (doc_id, fp).
+
+    Guarantee: two documents sharing any token run of >= w + k - 1 tokens
+    share at least one fingerprint — a positional sketch that catches
+    partial-copy overlap exact/MinHash dedup miss. Documents shorter than
+    k tokens emit nothing; shorter than w shingles emit their single global
+    min. Pure Column arithmetic (codegen md5 + higher-order transforms);
+    the hash is a 60-bit md5 prefix so the DuckDB oracle twin is
+    bit-identical (same recipe as simhash_portable).
+    """
+    from ..functions.text import tokenize_simple
+
+    def shingle_hash(i):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("_t", i, k))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    d = (
+        docs.select(id_col, tokenize_simple(F.col(text_col)).alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= k)
+        .withColumn(
+            "_hs",
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - k + 1), shingle_hash
+            ),
+        )
+        .withColumn("_m", F.size("_hs"))
+    )
+    wins = F.when(
+        F.col("_m") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_m") - w + 1),
+            lambda j: F.array_min(F.slice("_hs", j, w)),
+        ),
+    ).otherwise(F.array(F.array_min("_hs")))
+    return d.select(
+        id_col, F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_sql(docs_rel: str, k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of winnow_fingerprints over a relation with
+    (doc_id, text)."""
+    from ..functions.text import tokenize_simple_sql
+
+    return f"""
+with t as (select doc_id, {tokenize_simple_sql('text')} as tk from {docs_rel}),
+s as (
+  select doc_id,
+    [('0x' || substr(md5(array_to_string(tk[i:i+{k - 1}], ' ')), 1, 15))::bigint
+     for i in generate_series(1, len(tk) - {k} + 1)] as hs
+  from t where len(tk) >= {k}
+),
+wfp as (
+  select doc_id,
+    case when len(hs) >= {w} then
+      [list_min(hs[j:j+{w - 1}]) for j in generate_series(1, len(hs) - {w} + 1)]
+    else [list_min(hs)] end as wins
+  from s
+)
+select distinct doc_id, fp from (select doc_id, unnest(wins) as fp from wfp)
+"""

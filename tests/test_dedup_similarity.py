@@ -327,3 +327,28 @@ def test_connected_components_vs_union_find(spark):
     canon = {r["component_id"] for r in clusters if r["is_canonical"]}
     assert canon == set(want.values())  # exactly one keeper per cluster
     assert all((r["node"] == r["component_id"]) == r["is_canonical"] for r in clusters)
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """MOSS guarantee: docs sharing a run of >= w+k-1 tokens (k=5, w=4 ->
+    8 tokens) share at least one fingerprint; unrelated docs don't collide;
+    short docs follow the documented edge rules."""
+    from osm_search_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, "xx yy " + shared + " zz"),
+        (2, shared + " aa bb cc dd"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "tiny doc"),                    # < k tokens -> no output
+        (5, "exactly five token doc here"),  # 1 shingle -> single min
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]            # shared run -> shared fingerprint
+    assert not (by_doc[3] & by_doc[1])      # unrelated -> disjoint
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
