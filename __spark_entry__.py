@@ -508,6 +508,44 @@ from documents
 """
 
 
+# Q12h: as-of temporal join — each event enriched with the latest state row
+# at or before its timestamp (state stream = every 5th event, deduped per
+# (user, ts) by max event_id). The DuckDB twin uses DuckDB's NATIVE
+# `ASOF JOIN`, so the gate checks our union+running-last composition
+# against an independent first-class implementation of the semantics.
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    states = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("state_id"),
+            F.max_by("value", "event_id").alias("state_value"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"), states, on="user_id"
+    )
+    return joined.select("event_id", "user_id", "state_id", "state_value")
+
+
+def sql_asof() -> str:
+    return """
+with states as (
+  select user_id, ts,
+         max_by(event_id, event_id) as state_id,
+         max_by(value, event_id) as state_value
+  from events where event_id % 5 = 0
+  group by user_id, ts
+)
+select e.event_id, e.user_id, s.state_id, s.state_value
+from events e asof join states s
+  on e.user_id = s.user_id and e.ts >= s.ts
+"""
+
+
 # Q13: brute-force cosine top-k over embeddings
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -1581,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "pii_redact": q_pii_redact,
         "winnow_fingerprints": q_winnow,
+        "asof_enrich": q_asof,
     }
 
 
@@ -1632,4 +1671,5 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": sql_split_assign(),
         "pii_redact": sql_pii_redact(),
         "winnow_fingerprints": sql_winnow(),
+        "asof_enrich": sql_asof(),
     }
