@@ -546,6 +546,60 @@ from events e asof join states s
 """
 
 
+# Q12i: range (interval) join — events matched to overlapping value bands
+# via the bucketed equi-join (operators/range_join.py; never a nested
+# loop). The DuckDB twin is the plain theta join, so the gate proves the
+# bucket cover + exact filter reproduces true containment semantics.
+_BANDS = [(i, i * 3.5, i * 3.5 + 6.0) for i in range(60)]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.range_join import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    bands = spark.createDataFrame(
+        _BANDS, "band_id long, lo double, hi double"
+    )
+    return range_join(ev, bands, point_col="value", bucket_width=4.0).select(
+        "event_id", "band_id"
+    )
+
+
+def sql_range_join() -> str:
+    vals = ",\n".join(
+        f"({i}, {synth.dlit(lo)}, {synth.dlit(hi)})" for i, lo, hi in _BANDS
+    )
+    return f"""
+with bands as (select * from (values\n{vals}\n) b(band_id, lo, hi))
+select e.event_id, b.band_id
+from events e join bands b on b.lo <= e.value and e.value < b.hi
+"""
+
+
+# Q12j: hypertable-style hourly rollup (continuous aggregate; exact
+# integer-cent sums so the aggregate is order-independent and the DuckDB
+# twin matches bit-for-bit; incremental merge tested in test_rollup)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.rollup import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(ev).select(
+        "bucket_ts", "event_type", "n_events", "sum_cents"
+    )
+
+
+def sql_hourly_rollup() -> str:
+    return """
+select date_trunc('hour', ts) as bucket_ts, event_type,
+       count(*) as n_events,
+       cast(sum(cast(round(value * 100, 0) as bigint)) as bigint) as sum_cents
+from events
+group by 1, 2
+"""
+
+
 # Q13: brute-force cosine top-k over embeddings
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -1620,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "winnow_fingerprints": q_winnow,
         "asof_enrich": q_asof,
+        "range_band_join": q_range_join,
+        "hourly_rollup": q_hourly_rollup,
     }
 
 
@@ -1672,4 +1728,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": sql_pii_redact(),
         "winnow_fingerprints": sql_winnow(),
         "asof_enrich": sql_asof(),
+        "range_band_join": sql_range_join(),
+        "hourly_rollup": sql_hourly_rollup(),
     }
