@@ -284,7 +284,8 @@ def connected_components(
     Spark CC recipe; large-star/small-star is the same idea edge-side).
     Every round is ONE join + groupBy min + ONE compression join, and the
     labels frame is localCheckpoint(eager=True)'d so lineage stays flat
-    across rounds (CLAUDE.md round-2 rule). Convergence is detected on the
+    across rounds (driver-iterative loops otherwise grow their lineage
+    exponentially — see operators/knn.py). Convergence is detected on the
     checkpointed frame (no extra shuffle); raises if max_iter rounds do not
     converge (duplicate clusters have tiny diameters in practice).
     """
