@@ -1581,18 +1581,17 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.image_zonal_stats(imgs, synth.admin_polygons(spark, box))
 
 
-def sql_zonal_stats() -> str:
-    """Oracle per the images pattern (FIXTURES.md): re-synthesize + DECODE the
-    deterministic rows driver-side, embed exact integer channel sums as
-    VALUES — the gate then independently verifies the PIP join + zonal
-    aggregation; decode fidelity itself is pytest-PSNR-checked."""
+def _image_sums_values(n: int = 400) -> str:
+    """(image_id, lat, lon, n_px, sum_r, sum_g, sum_b) VALUES rows built by
+    re-synthesizing + DECODING the deterministic images driver-side (the
+    images-oracle pattern, FIXTURES.md)."""
     import numpy as _np
 
     from osm_search_spark.functions import images as I
     from osm_search_spark.sources import images as img_src
 
     rows = []
-    for i in range(400):
+    for i in range(n):
         r = img_src.make_row(i)
         p = I.decode(r["bytes"], r["fmt"]).astype(_np.int64)
         s = p.sum(axis=(0, 1))
@@ -1602,8 +1601,18 @@ def sql_zonal_stats() -> str:
                 p.shape[0] * p.shape[1], int(s[0]), int(s[1]), int(s[2]),
             )
         )
+    return ",\n".join(rows)
+
+
+def sql_zonal_stats() -> str:
+    """Oracle per the images pattern (FIXTURES.md): re-synthesize + DECODE the
+    deterministic rows driver-side, embed exact integer channel sums as
+    VALUES — the gate then independently verifies the PIP join + zonal
+    aggregation; decode fidelity itself is pytest-PSNR-checked."""
+    from osm_search_spark.sources import images as img_src
+
     box = (img_src.LAT0, img_src.LON0, img_src.LAT1, img_src.LON1)
-    vals = ",\n".join(rows)
+    vals = _image_sums_values(400)
     return f"""
 with feats as (
   select * from (values\n{vals}\n) f(image_id, lat, lon, n_px, sum_r, sum_g, sum_b)
@@ -1619,6 +1628,78 @@ from feats f join polys p
   on f.lat >= p.minlat and f.lat <= p.maxlat
  and f.lon >= p.minlon and f.lon <= p.maxlon
 group by p.polygon_id
+"""
+
+
+# Q41: coverage-WEIGHTED zonal stats — the raster x raster x vector
+# composition: per-tile image rollup joined to the polygon masks on
+# cell_id, each tile weighted by the zone's coverage (exact rational
+# n_set/px^2, kept as integer products until one final division).
+def q_coverage_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import raster as R
+    from osm_search_spark.sources import images as img_src
+
+    imgs = img_src.images_table(spark, 400)
+    box = (img_src.LAT0, img_src.LON0, img_src.LAT1, img_src.LON1)
+    polys = synth.admin_polygons(spark, box)
+    return R.coverage_zonal_stats(imgs, polys, res=_RAST_RES, px=_RAST_PX)
+
+
+def sql_coverage_zonal() -> str:
+    """Rectangular zones, so the per-tile coverage count is an inclusive
+    bbox test on the pixel-center lattice (== the winding semantics with
+    the segment-bbox boundary quirk for axis-aligned rings)."""
+    from osm_search_spark.sources import images as img_src
+
+    res, px = _RAST_RES, _RAST_PX
+    size = synth.dlit(C.cell_size_deg(res))
+    size_p = synth.dlit(C.cell_size_deg(res + px.bit_length() - 1))
+    nx, ny = 2 << res, 1 << res
+    box = (img_src.LAT0, img_src.LON0, img_src.LAT1, img_src.LON1)
+    vals = _image_sums_values(400)
+    return f"""
+with polys as ({synth.admin_polygons_sql(box)}),
+cov as (
+  select polygon_id, minlat, minlon, maxlat, maxlon,
+    least(greatest(cast(floor((minlon + 180.0) / {size}) as bigint), 0), {nx - 1}) as ix0,
+    least(greatest(cast(floor((maxlon + 180.0) / {size}) as bigint), 0), {nx - 1}) as ix1,
+    least(greatest(cast(floor((minlat + 90.0) / {size}) as bigint), 0), {ny - 1}) as iy0,
+    least(greatest(cast(floor((maxlat + 90.0) / {size}) as bigint), 0), {ny - 1}) as iy1
+  from polys
+),
+cells_x as (
+  select polygon_id, minlat, minlon, maxlat, maxlon, iy0, iy1,
+         unnest(generate_series(ix0, ix1)) as ix
+  from cov
+),
+cells as (
+  select polygon_id, minlat, minlon, maxlat, maxlon, ix,
+         unnest(generate_series(iy0, iy1)) as iy
+  from cells_x
+),
+covn as (
+  select polygon_id, ({res} * {C.RES_BITS_SHIFT} + ix * {C.IX_SHIFT} + iy) as cell_id,
+         count(*) as n_set
+  from cells, generate_series(0, {px - 1}) gi(i), generate_series(0, {px - 1}) gj(j)
+  where (iy * {px} + gj.j + 0.5) * {size_p} - 90.0 between minlat and maxlat
+    and (ix * {px} + gi.i + 0.5) * {size_p} - 180.0 between minlon and maxlon
+  group by 1, 2
+),
+imgs as (
+  select * from (values\n{vals}\n) f(image_id, lat, lon, n_px, sum_r, sum_g, sum_b)
+),
+per_tile as (
+  select {C.latlng_to_cell_sql('lat', 'lon', res)} as cell_id,
+         cast(sum(n_px) as bigint) as t_px,
+         cast(sum(sum_r) + sum(sum_g) + sum(sum_b) as bigint) as t_rgb
+  from imgs group by 1
+)
+select cast(c.polygon_id as bigint) as polygon_id,
+       cast(sum(c.n_set * t.t_px) as bigint) as w_px,
+       round(cast(sum(c.n_set * t.t_rgb) as bigint)
+             / (3.0 * cast(sum(c.n_set * t.t_px) as bigint)), 6) as wavg_rgb
+from covn c join per_tile t on c.cell_id = t.cell_id
+group by c.polygon_id
 """
 
 
@@ -1676,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof,
         "range_band_join": q_range_join,
         "hourly_rollup": q_hourly_rollup,
+        "coverage_zonal": q_coverage_zonal,
     }
 
 
@@ -1730,4 +1812,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_enrich": sql_asof(),
         "range_band_join": sql_range_join(),
         "hourly_rollup": sql_hourly_rollup(),
+        "coverage_zonal": sql_coverage_zonal(),
     }

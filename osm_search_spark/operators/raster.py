@@ -524,3 +524,51 @@ def image_zonal_stats(
             ).alias("avg_rgb"),
         )
     )
+
+
+def coverage_zonal_stats(
+    images: DataFrame,
+    polygons: DataFrame,
+    res: int = C.JOIN_RES,
+    px: int = 8,
+) -> DataFrame:
+    """Coverage-WEIGHTED zonal statistics — the raster x raster x vector
+    composition: images aggregate per TILE, polygons contribute per-tile
+    coverage from their rasterization, and each zone's statistic weights a
+    tile's pixels by the zone's coverage of that tile.
+
+    Weights are the exact rationals n_set/px^2, so the weighted sums stay
+    INTEGERS (sum of n_set * pixel_sums) until one final division —
+    order-independent and bit-identical in the DuckDB twin. Differs from
+    `image_zonal_stats` (point-assigned) when a tile straddles a zone
+    boundary: here the tile's images contribute fractionally.
+
+    Plan: per-tile image rollup (one partial agg) ⋈ mask table on cell_id
+    (both sides already tile-keyed — co-partitioned join, broadcastable
+    mask side for bounded zone layers) -> one groupBy per zone.
+    """
+    feats = image_pixel_sums(images).withColumn(
+        "cell_id", C.latlng_to_cell("lat", "lon", res)
+    )
+    per_tile = feats.groupBy("cell_id").agg(
+        F.sum("n_px").alias("t_px"),
+        (F.sum("sum_r") + F.sum("sum_g") + F.sum("sum_b")).alias("t_rgb"),
+    )
+    rast = rasterize_polygons(polygons, res=res, px=px).select(
+        "polygon_id", "cell_id", "n_set"
+    )
+    j = rast.join(per_tile, "cell_id")
+    return (
+        j.groupBy("polygon_id")
+        .agg(
+            F.sum(F.col("n_set") * F.col("t_px")).alias("w_px"),
+            F.sum(F.col("n_set") * F.col("t_rgb")).alias("_w_rgb"),
+        )
+        .select(
+            "polygon_id",
+            "w_px",
+            F.round(F.col("_w_rgb") / (F.lit(3.0) * F.col("w_px")), 6).alias(
+                "wavg_rgb"
+            ),
+        )
+    )
