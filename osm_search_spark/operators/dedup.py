@@ -303,6 +303,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        prev_labels = labels
         nmin = (
             sym.join(labels, sym["src"] == labels["node"])
             .groupBy("dst")
@@ -330,6 +331,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # the new checkpoint is materialized; free the superseded round's
+        # blocks so long runs don't accumulate local-disk checkpoints
+        prev_labels.unpersist()
         converged = (
             labels.filter(F.col("comp") != F.col("prev")).limit(1).count() == 0
         )

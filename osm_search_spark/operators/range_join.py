@@ -33,6 +33,8 @@ def range_join(
     double-matching shared edges). Pick ``bucket_width`` near the median
     interval length: wider buckets duplicate less but admit more false
     candidates."""
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be positive")
     cover = intervals.select(
         "*",
         F.explode(
