@@ -1,13 +1,18 @@
 """Streaming continuous rollup: cross-micro-batch merge equals the batch
-rollup of all rows."""
+rollup of all rows; replayed batches merge exactly once; a corrupted
+table root fails loud instead of silently re-initialising."""
 
 import json
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from osm_search_spark.operators.rollup import time_rollup
-from osm_search_spark.streaming.rollup_stream import start_rollup_stream
+from osm_search_spark.streaming.rollup_stream import (
+    read_rollup,
+    start_rollup_stream,
+)
 
 
 def _rows(lo, hi):
@@ -43,7 +48,7 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         q.processAllAvailable()
         got = {
             (r["bucket_ts"], r["event_type"]): (r["n_events"], r["sum_cents"])
-            for r in spark.read.parquet(table).collect()
+            for r in read_rollup(spark, table).collect()
         }
         assert time.time() < deadline
     finally:
@@ -57,3 +62,59 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         for r in time_rollup(all_rows).collect()
     }
     assert got == want and len(want) >= 4
+
+
+def test_streaming_rollup_replay_is_exactly_once(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must NOT double-merge: a
+    second stream over the same source with a FRESH checkpoint re-delivers
+    batch ids 0..n, and the committed table is unchanged."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in _rows(0, 40)))
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    table = str(tmp_path / "rollup")
+    q = start_rollup_stream(stream(), table, str(tmp_path / "ckpt1"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = sorted(map(tuple, read_rollup(spark, table).collect()))
+    # fresh checkpoint => Spark replays batch 0 over the same committed table
+    q2 = start_rollup_stream(stream(), table, str(tmp_path / "ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = sorted(map(tuple, read_rollup(spark, table).collect()))
+    assert after == before
+
+
+def test_streaming_rollup_missing_pointer_fails_loud(spark, tmp_path):
+    """Version dirs without a CURRENT pointer = corruption: reads and new
+    commits must raise, never silently re-initialise over history."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in _rows(0, 10)))
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    table = tmp_path / "rollup"
+    q = start_rollup_stream(stream, str(table), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    (table / "CURRENT").unlink()
+    with pytest.raises(RuntimeError, match="no CURRENT pointer"):
+        read_rollup(spark, str(table))
