@@ -1372,10 +1372,12 @@ select probe_id, obj_id, dist_km from (
 """
 
 
-# Q30: embedding-cosine near-duplicate pairs (exact mode for the oracle;
-# the scale path restricts candidates to LSH bucket collisions)
+# Q30: embedding-cosine near-duplicate pairs (exact mode pinned explicitly
+# for the oracle — the operator's DEFAULT is the LSH-restricted scale path)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.5)
+    pairs = similarity.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.5, n_planes=None
+    )
     return pairs.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
 
 

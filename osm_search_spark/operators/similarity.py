@@ -120,13 +120,15 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-    n_planes: int | None = None,
+    n_planes: int | None = 8,
     seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= threshold — embedding-based
-    near-duplicate detection. With n_planes set, candidates are restricted
-    to hyperplane-LSH bucket collisions (the scale path: no full cross
-    join); without, exact all-pairs (small corpora / oracle checking)."""
+    near-duplicate detection. The DEFAULT restricts candidates to
+    hyperplane-LSH bucket collisions (the posture that survives a web
+    corpus: no full cross join; near-dups land in the same bucket with
+    high probability at cos >= 0.95). Pass n_planes=None for exact
+    all-pairs — small corpora and oracle checking ONLY, it is O(N^2)."""
     left = corpus.select(
         F.col(corpus_id).alias("id_a"), F.col(corpus_vec).alias("va")
     )
@@ -175,6 +177,192 @@ def _top_clusters(vec, cent, n_probe: int):
     return F.slice(F.reverse(F.array_sort(arr)), 1, n_probe).getField("c")
 
 
+# --- coarse-quantizer engines -------------------------------------------------
+#
+# The Column kernels above embed every centroid as an F.lit array: expression
+# size is O(n_centroids * dim) and _argmax_cluster nests n_centroids when()
+# chains — past ~32 lists this blows the JIT method-size limit / plan size
+# long before data does. The arrow engine broadcasts the centroid matrix as
+# ONE numpy array into mapInPandas (the pq_encode pattern): plan size is
+# constant in n_centroids, the per-batch work is a BLAS matmul, and a
+# billion-row corpus can use the 4k-65k inverted lists it actually needs.
+# engine="auto" keeps the codegen Column path for small list counts.
+
+_ARROW_CENTROID_THRESHOLD = 32
+
+
+def _coarse_engine(engine: str, n_centroids: int) -> str:
+    if engine == "auto":
+        return "column" if n_centroids <= _ARROW_CENTROID_THRESHOLD else "arrow"
+    if engine not in ("column", "arrow"):
+        raise ValueError(f"unknown coarse engine {engine!r}")
+    return engine
+
+
+def _probe_sims(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) cosine-to-centroid matrix matching _centroid_sims: dot with
+    the (unit-norm) centroid, divided by ||x||+1e-12 — the same expression
+    the Column path evaluates, so near-ties resolve identically."""
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True)) + 1e-12
+    return (X @ C.T) / norms
+
+
+def assign_clusters(
+    df: DataFrame,
+    cent,
+    vec_col: str,
+    out_col: str = "cluster_id",
+    engine: str = "auto",
+    residual_col: str | None = None,
+) -> DataFrame:
+    """Add `out_col` = argmax cosine(vec, centroid) (ties -> lowest id,
+    matching _argmax_cluster). With residual_col set, also add
+    vec - centroids[cluster] (array<double>) in the same pass.
+
+    engine="arrow" broadcasts the centroid matrix into mapInPandas —
+    constant plan size, scales to thousands of lists; "column" is the
+    pure-Column literal kernel for small n_centroids; "auto" picks by
+    list count."""
+    cent = np.asarray(cent, dtype=np.float64)
+    if _coarse_engine(engine, len(cent)) == "column":
+        out = df.withColumn(out_col, _argmax_cluster(F.col(vec_col), cent))
+        if residual_col:
+            out = out.withColumn(
+                residual_col, _residual(F.col(vec_col), cent, F.col(out_col))
+            )
+        return out
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    fields = list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    if residual_col:
+        fields.append(StructField(residual_col, ArrayType(DoubleType())))
+    schema = StructType(fields)
+
+    def run(batches):
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                pdf[out_col] = pd.Series([], dtype="int32")
+                if residual_col:
+                    pdf[residual_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = _probe_sims(X, C).argmax(axis=1)  # first max = lowest id
+            pdf = pdf.copy()
+            pdf[out_col] = ids.astype("int32")
+            if residual_col:
+                pdf[residual_col] = list(X - C[ids])
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def probe_clusters(
+    df: DataFrame,
+    cent,
+    vec_col: str,
+    n_probe: int,
+    out_col: str = "cluster_id",
+    engine: str = "auto",
+    residual_col: str | None = None,
+) -> DataFrame:
+    """Explode each probe row into its n_probe nearest-centroid rows
+    (ordering: descending cosine, ties -> highest id, matching
+    _top_clusters' reversed array_sort). With residual_col set, also add
+    the probe's residual against EACH probed centroid (IVF-PQ semantics).
+    Engines as in assign_clusters."""
+    cent = np.asarray(cent, dtype=np.float64)
+    if _coarse_engine(engine, len(cent)) == "column":
+        out = df.withColumn(
+            out_col, F.explode(_top_clusters(F.col(vec_col), cent, n_probe))
+        )
+        if residual_col:
+            out = out.withColumn(
+                residual_col, _residual(F.col(vec_col), cent, F.col(out_col))
+            )
+        return out
+
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("_clusters", ArrayType(IntegerType()))]
+    )
+
+    def run(batches):
+        C = bc.value
+        k = len(C)
+        for pdf in batches:
+            if pdf.empty:
+                pdf["_clusters"] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            S = _probe_sims(np.array(list(pdf[vec_col]), dtype=np.float64), C)
+            # stable argsort over REVERSED columns: descending sim with
+            # ties broken toward the higher original cluster id — exactly
+            # reverse(array_sort(struct(s, c)))
+            idx_rev = np.argsort(-S[:, ::-1], axis=1, kind="stable")
+            ids = (k - 1 - idx_rev[:, :n_probe]).astype("int32")
+            pdf = pdf.copy()
+            pdf["_clusters"] = list(ids)
+            yield pdf
+
+    exploded = df.mapInPandas(run, schema=schema).select(
+        *df.columns, F.explode("_clusters").alias(out_col)
+    )
+    if residual_col:
+        # residual against the PROBED centroid: one more arrow pass over
+        # the exploded (bounded: |probes| * n_probe) frame
+        return _residual_arrow(exploded, cent, vec_col, out_col, residual_col)
+    return exploded
+
+
+def _residual_arrow(
+    df: DataFrame, cent, vec_col: str, cluster_col: str, out_col: str
+) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cent = np.asarray(cent, dtype=np.float64)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def run(batches):
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = np.asarray(pdf[cluster_col], dtype=np.int64)
+            pdf = pdf.copy()
+            pdf[out_col] = list(X - C[ids])
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def kmeans_train_sample(
     corpus: DataFrame, n_centroids: int, corpus_vec: str = "embedding",
     seed: int = 42, sample: int = 2048, iters: int = 8,
@@ -202,6 +390,7 @@ def kmeans_train_sample(
 def kmeans_train_distributed(
     corpus: DataFrame, n_centroids: int, corpus_vec: str = "embedding",
     corpus_id: str = "vec_id", iters: int = 3, seed: int = 42,
+    engine: str = "auto",
 ):
     """Spherical Lloyd iterations over the FULL corpus — no fixed-size
     driver sample (the round-1 honest caveat). Each iteration:
@@ -226,8 +415,10 @@ def kmeans_train_distributed(
     )
     for _ in range(iters):
         inv_norm = F.lit(1.0) / (_norm(F.col(corpus_vec)) + F.lit(1e-12))
-        assigned = corpus.select(
-            _argmax_cluster(F.col(corpus_vec), cent).alias("cluster_id"),
+        assigned = assign_clusters(
+            corpus.select(corpus_vec), cent, corpus_vec, engine=engine
+        ).select(
+            "cluster_id",
             F.transform(
                 corpus_vec, lambda x: x.cast("double") * inv_norm
             ).alias("nvec"),
@@ -253,6 +444,19 @@ def kmeans_train_distributed(
 
 
 # --- product quantization (PQ) ------------------------------------------------
+
+# A probe batch's flattened LUTs are m*kc doubles per (probe, list) row; the
+# ADC join broadcasts them. Past this budget a broadcast would OOM the
+# driver/executors, so pq_topk chunks the probe batch (its join key is a
+# constant — a shuffle join would collapse to one partition) and ivfpq_topk
+# switches to a SHUFFLE_HASH join on cluster_id (a real key, so the join
+# stays parallel). Results are identical either side of the threshold
+# (tested); thresholds documented in PLANS.md.
+DEFAULT_ADC_BROADCAST_MB = 64.0
+
+
+def _lut_mb(n_rows: int, m: int, kc: int) -> float:
+    return n_rows * m * kc * 8 / 1e6
 
 def pq_train(
     corpus: DataFrame, m: int = 16, k: int = 32,
@@ -464,6 +668,7 @@ def pq_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     refine_factor: int = 5,
+    max_broadcast_mb: float = DEFAULT_ADC_BROADCAST_MB,
 ) -> DataFrame:
     """Approximate L2 top-k by Asymmetric Distance Computation as ONE join:
     probes carry their flattened m*k lookup table (pq_luts, computed
@@ -477,8 +682,31 @@ def pq_topk(
     vector column, the ADC shortlist of k*refine_factor candidates is
     re-ranked by EXACT L2 against the joined probe vector (the FAISS-style
     refine stage) — the shortlist is tiny, so the exact math never touches
-    the full corpus."""
+    the full corpus.
+
+    max_broadcast_mb: guard on the LUT broadcast (m*kc doubles per probe).
+    A probe batch whose LUTs exceed it is split into hash-chunks, each
+    running the same broadcast plan (the join key is constant, so a shuffle
+    join would serialize into one partition — chunking keeps every chunk's
+    scan parallel); results are the union, identical to the one-shot plan."""
     m, kc, dsub = codebooks.shape
+    if max_broadcast_mb != float("inf"):
+        n_probes = probes.count()  # bounded job on the small side
+        mb = _lut_mb(n_probes, m, kc)
+        if mb > max_broadcast_mb:
+            n_chunks = int(np.ceil(mb / max_broadcast_mb))
+            out = None
+            for i in range(n_chunks):
+                chunk = probes.filter(
+                    F.pmod(F.hash(F.col(probe_id)), F.lit(n_chunks)) == i
+                )
+                part = pq_topk(
+                    chunk, corpus_codes, codebooks, k, probe_id, probe_vec,
+                    corpus_id, corpus_vec, refine_factor,
+                    max_broadcast_mb=float("inf"),
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
     shortlist = k * refine_factor
     plut = pq_luts(
         probes.select(probe_id, probe_vec), codebooks, probe_vec
@@ -560,6 +788,7 @@ def ivf_topk(
     sample: int = 2048,
     kmeans_iters: int = 8,
     train: str = "sample",
+    engine: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their nearest
     centroid (inverted lists = a cluster_id column); each probe searches
@@ -567,12 +796,14 @@ def ivf_topk(
 
     train="sample" (bounded driver mini-kmeans) or "distributed"
     (full-corpus Lloyd iterations, kmeans_train_distributed). ASSIGNMENT is
-    always a distributed argmin over broadcast centroid literals (pure
-    Column arithmetic, no UDF).
+    always distributed: pure-Column broadcast-literal argmin for small
+    n_centroids, broadcast-numpy mapInPandas above (engine="auto" picks;
+    see assign_clusters) — plan size stays bounded at thousands of lists.
     """
     if train == "distributed":
         cent = kmeans_train_distributed(
-            corpus, n_centroids, corpus_vec, corpus_id, seed=seed
+            corpus, n_centroids, corpus_vec, corpus_id, seed=seed,
+            engine=engine,
         )
     else:
         cent = kmeans_train_sample(
@@ -580,11 +811,9 @@ def ivf_topk(
             sample=sample, iters=kmeans_iters,
         )
 
-    c_assigned = corpus.withColumn(
-        "cluster_id", _argmax_cluster(F.col(corpus_vec), cent)
-    )
-    p_assigned = probes.withColumn(
-        "cluster_id", F.explode(_top_clusters(F.col(probe_vec), cent, n_probe))
+    c_assigned = assign_clusters(corpus, cent, corpus_vec, engine=engine)
+    p_assigned = probe_clusters(
+        probes, cent, probe_vec, n_probe, engine=engine
     )
     j = c_assigned.join(p_assigned, "cluster_id").filter(
         F.col(probe_id) != F.col(corpus_id)
@@ -625,6 +854,7 @@ def ivfpq_build(
     corpus_vec: str = "embedding",
     seed: int = 42,
     train: str = "sample",
+    engine: str = "auto",
 ):
     """Build the IVF-PQ index: (indexed DataFrame, coarse centroids, PQ
     codebooks). The classic composition (FAISS IVFPQ): a coarse spherical
@@ -639,17 +869,24 @@ def ivfpq_build(
 
     train="distributed" uses the full-corpus trainers for BOTH stages
     (kmeans_train_distributed + pq_train_distributed); "sample" uses the
-    bounded-sample trainers."""
+    bounded-sample trainers. engine: coarse assignment + residual kernel
+    ("column" literal arithmetic for small list counts, "arrow"
+    broadcast-numpy mapInPandas above — "auto" picks; one fused pass
+    computes both)."""
     if train == "distributed":
         cent = kmeans_train_distributed(
-            corpus, n_centroids, corpus_vec, corpus_id, seed=seed
+            corpus, n_centroids, corpus_vec, corpus_id, seed=seed,
+            engine=engine,
         )
     else:
-        cent = kmeans_train_sample(corpus, n_centroids, corpus_vec, seed=seed)
+        cent = kmeans_train_sample(
+            corpus, n_centroids, corpus_vec, seed=seed,
+            sample=max(2048, 8 * n_centroids),
+        )
 
-    assigned = corpus.withColumn(
-        "cluster_id", _argmax_cluster(F.col(corpus_vec), cent)
-    ).withColumn("_rvec", _residual(F.col(corpus_vec), cent, F.col("cluster_id")))
+    assigned = assign_clusters(
+        corpus, cent, corpus_vec, engine=engine, residual_col="_rvec"
+    )
     res_frame = assigned.select(F.col("_rvec").alias("rvec"))
     if train == "distributed":
         books = pq_train_distributed(res_frame, m, kc, corpus_vec="rvec", seed=seed)
@@ -671,6 +908,8 @@ def ivfpq_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     refine_factor: int = 5,
+    engine: str = "auto",
+    max_broadcast_mb: float = DEFAULT_ADC_BROADCAST_MB,
 ) -> DataFrame:
     """Approximate L2 top-k over the IVF-PQ index: each probe visits only
     its n_probe nearest inverted lists; within a list, distance is the ADC
@@ -682,20 +921,27 @@ def ivfpq_topk(
     gets its LUTs distributed (pq_luts), and BROADCASTS; the join is a
     hash join ON cluster_id, so a corpus row is only ever matched against
     probes that chose its list — candidate work is corpus_fraction *
-    n_probe/n_centroids, and the big side never shuffles."""
+    n_probe/n_centroids, and the big side never shuffles.
+
+    max_broadcast_mb: guard on the LUT broadcast (|probes| * n_probe rows
+    of m*kc doubles). Past it, the ADC join switches to a SHUFFLE_HASH
+    join on cluster_id — a real key, so the join stays parallel (unlike
+    pq_topk's constant key, which must chunk instead); identical results
+    (tested)."""
     m, kc, dsub = books.shape
     shortlist = k * refine_factor
-    p_assigned = probes.select(
-        probe_id, probe_vec,
-        F.explode(_top_clusters(F.col(probe_vec), cent, n_probe)).alias(
-            "cluster_id"
-        ),
-    ).withColumn(
-        "rpvec", _residual(F.col(probe_vec), cent, F.col("cluster_id"))
+    p_assigned = probe_clusters(
+        probes.select(probe_id, probe_vec), cent, probe_vec, n_probe,
+        engine=engine, residual_col="rpvec",
     )
     plut = pq_luts(
         p_assigned.select(probe_id, "cluster_id", "rpvec"), books, "rpvec"
     ).drop("rpvec")
+    lut_side = F.broadcast(plut)
+    if max_broadcast_mb != float("inf"):
+        mb = _lut_mb(probes.count() * n_probe, m, kc)
+        if mb > max_broadcast_mb:
+            lut_side = plut.hint("SHUFFLE_HASH")
 
     adc = None
     for j in range(m):
@@ -705,7 +951,7 @@ def ivfpq_topk(
         adc = term if adc is None else adc + term
     scored = (
         indexed.select(corpus_id, "cluster_id", "codes")
-        .join(F.broadcast(plut), "cluster_id")
+        .join(lut_side, "cluster_id")
         .filter(F.col(corpus_id) != F.col(probe_id))
         .select(probe_id, corpus_id, adc.alias("adc_dist"))
     )

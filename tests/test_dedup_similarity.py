@@ -118,8 +118,15 @@ def test_embedding_near_dup_pairs(spark):
         [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<float>",
     )
+    # DEFAULT path = LSH-restricted candidates (the web-corpus posture):
+    # the planted near-dup shares its original's bucket and is found
     pairs = similarity.embedding_near_dup_pairs(corpus, threshold=0.99).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 20)}
+    # exact mode is explicit opt-in and agrees here
+    exact = similarity.embedding_near_dup_pairs(
+        corpus, threshold=0.99, n_planes=None
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(0, 20)}
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark):
@@ -352,3 +359,176 @@ def test_winnow_guarantee_and_edges(spark):
     assert not (by_doc[3] & by_doc[1])      # unrelated -> disjoint
     assert 4 not in by_doc
     assert len(by_doc[5]) == 1
+
+
+def test_coarse_quantizer_engine_parity(spark):
+    # arrow (broadcast-numpy mapInPandas) and column (literal expression)
+    # coarse quantizers must agree exactly: assignment (ties -> lowest id),
+    # probed lists (ties -> highest id), and residuals
+    from osm_search_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = S.kmeans_train_sample(emb, 16)
+    got = {}
+    for eng in ("column", "arrow"):
+        rows = S.assign_clusters(
+            emb, cent, "embedding", engine=eng, residual_col="r"
+        ).collect()
+        got[eng] = {
+            r["vec_id"]: (r["cluster_id"], tuple(r["r"])) for r in rows
+        }
+    assert got["column"].keys() == got["arrow"].keys()
+    for k in got["column"]:
+        ca, ra = got["column"][k]
+        cb, rb = got["arrow"][k]
+        assert ca == cb
+        assert max(abs(x - y) for x, y in zip(ra, rb)) < 1e-9
+
+    probes = emb.limit(25).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    lists = {}
+    for eng in ("column", "arrow"):
+        rows = S.probe_clusters(probes, cent, "pvec", 4, engine=eng).collect()
+        d = {}
+        for r in rows:
+            d.setdefault(r["probe_id"], set()).add(r["cluster_id"])
+        lists[eng] = d
+    assert lists["column"] == lists["arrow"]
+
+
+def _replicated_corpus(spark, sf_dir="/root/testdata/sf0.1", reps=16):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("rep"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.col("vec_id") * reps + F.col("rep")).alias("vec_id"), "embedding"
+    )
+
+
+def test_ivf_and_ivfpq_at_1024_lists(spark):
+    # the arrow coarse engine unlocks real list counts: 1024 inverted lists
+    # over a 32k-row corpus, n_probe=32 — a literal-expression quantizer
+    # would be an O(n_centroids * dim) plan; the arrow plan stays bounded
+    from osm_search_spark.operators import similarity as S
+    from tests.test_plans import plan_str
+
+    reps = 16
+    corpus = _replicated_corpus(spark, reps=reps).persist()
+    n = corpus.count()
+    assert n == 2000 * reps
+
+    rows = spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet"
+    ).limit(400).collect()
+    import numpy as np
+
+    ids0 = np.array([r["vec_id"] for r in rows])
+    V0 = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    probe_orig = ids0[:5]
+    probes = spark.createDataFrame(
+        [
+            (int(p) * reps, [float(x) for x in V0[i]])
+            for i, p in enumerate(probe_orig)
+        ],
+        "probe_id long, pvec array<float>",
+    )
+
+    # exact L2 oracle over the replicated corpus, ties by id
+    all_rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in all_rows])
+    V = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    exact_l2 = set()
+    exact_cos = set()
+    for i, p in enumerate(probe_orig):
+        pid = int(p) * reps
+        pv = V0[i]
+        d = ((V - pv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        exact_l2 |= {
+            (pid, int(ids[j])) for j in order[ids[order] != pid][:10]
+        }
+        cos = (V @ pv) / (
+            np.linalg.norm(V, axis=1) * np.linalg.norm(pv) + 1e-300
+        )
+        order = np.lexsort((ids, -cos))
+        exact_cos |= {
+            (pid, int(ids[j])) for j in order[ids[order] != pid][:10]
+        }
+
+    cent = S.kmeans_train_sample(corpus, 1024, sample=2048)
+    assert len(cent) == 1024
+    # plan stays bounded at 1024 lists (the point of the arrow engine):
+    # auto picks arrow, and the explain string is constant-size, not
+    # O(n_centroids * dim) literal arrays
+    assigned = S.assign_clusters(corpus, cent, "embedding")
+    p = plan_str(assigned)
+    assert "mapinpandas" in p.lower().replace("_", "")
+    assert len(p) < 20_000
+
+    ivf = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.ivf_topk(
+            probes, corpus, k=10, n_centroids=1024, n_probe=32
+        ).collect()
+    }
+    recall_ivf = len(exact_cos & ivf) / len(exact_cos)
+    assert recall_ivf >= 0.8, recall_ivf
+
+    indexed, cent2, books = S.ivfpq_build(
+        corpus, n_centroids=1024, m=16, kc=32
+    )
+    indexed = indexed.persist()
+    assert indexed.filter(F.size("codes") != 16).count() == 0
+    res = S.ivfpq_topk(
+        probes, indexed, cent2, books, k=10, n_probe=32
+    )
+    approx = {(r["probe_id"], r["neighbor_id"]) for r in res.collect()}
+    recall = len(exact_l2 & approx) / len(exact_l2)
+    assert recall >= 0.8, recall
+    indexed.unpersist()
+    corpus.unpersist()
+
+
+def test_adc_broadcast_guard_paths_identical(spark):
+    # past the LUT-broadcast budget, pq_topk chunks the probe batch and
+    # ivfpq_topk switches to a SHUFFLE_HASH join — both must return
+    # row-for-row the same results as the broadcast plan
+    from osm_search_spark.operators import similarity as S
+    from tests.test_plans import plan_str
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 12").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+
+    books = S.pq_train(emb, m=16, k=32)
+    codes = S.pq_encode(emb, books).persist()
+    base = sorted(
+        map(tuple, S.pq_topk(probes, codes, books, k=5).collect())
+    )
+    chunked_df = S.pq_topk(
+        probes, codes, books, k=5, max_broadcast_mb=0.0005
+    )
+    assert "Union" in plan_str(chunked_df)
+    assert sorted(map(tuple, chunked_df.collect())) == base
+    codes.unpersist()
+
+    indexed, cent, rbooks = S.ivfpq_build(emb, n_centroids=8, m=16, kc=32)
+    indexed = indexed.persist()
+    base2 = sorted(
+        map(
+            tuple,
+            S.ivfpq_topk(probes, indexed, cent, rbooks, k=5, n_probe=4).collect(),
+        )
+    )
+    shuffled_df = S.ivfpq_topk(
+        probes, indexed, cent, rbooks, k=5, n_probe=4,
+        max_broadcast_mb=0.0005,
+    )
+    plan = plan_str(shuffled_df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert sorted(map(tuple, shuffled_df.collect())) == base2
+    indexed.unpersist()

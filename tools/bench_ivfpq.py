@@ -1,7 +1,7 @@
 """IVF-PQ vs flat PQ: the cluster-keyed join should scan only
 n_probe/n_centroids of the code table per probe.
 
-Usage: python tools/bench_ivfpq.py [sf_dir] [reps] [n_probe]
+Usage: python tools/bench_ivfpq.py [sf_dir] [reps] [n_probe] [n_centroids]
 
 Same corpus construction as tools/bench_pq.py (sf embeddings replicated
 ``reps``x, 1000 probes). Times the 1000-probe top-10 batch on both paths
@@ -26,7 +26,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n_probe = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    n_cent = 16
+    n_cent = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     spark = get_spark("bench-ivfpq")
     spark.sparkContext.setLogLevel("ERROR")
 
