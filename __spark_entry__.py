@@ -386,7 +386,10 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def sql_jaccard_pairs() -> str:
+def sql_jaccard_pairs(max_gram_freq: int = 1000) -> str:
+    # max_gram_freq mirrors dedup.DEFAULT_LSH_MAX_BUCKET (the Spark path's
+    # default gram-frequency cap) — a no-op at sf0.01's 500 docs, but the
+    # twin carries the same semantics
     toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
     tri = (
         "list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] "
@@ -394,7 +397,12 @@ def sql_jaccard_pairs() -> str:
     )
     return f"""
 with t as (select doc_id, {toks} as tokens from documents),
-g as (select doc_id, unnest({tri.replace('tokens', 'tokens')}) as gram from t),
+g0 as (select doc_id, unnest({tri.replace('tokens', 'tokens')}) as gram from t),
+g as (
+  select * from g0 where gram in (
+    select gram from g0 group by gram having count(*) <= {max_gram_freq}
+  )
+),
 sizes as (select doc_id, count(*) as n_grams from g group by doc_id),
 inter as (
   select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter

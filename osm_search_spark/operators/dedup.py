@@ -88,6 +88,7 @@ def minhash_sql(
 
 
 DEFAULT_LSH_MAX_BUCKET = 1000  # see tools/bench_lsh_skew.py for the cutoff
+_HEAVY_GRAM_LITERALS = 1000  # heavy-hitter grams kept as a literal filter
 
 
 def lsh_candidate_pairs(
@@ -228,16 +229,62 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_gram_freq: int | None = DEFAULT_LSH_MAX_BUCKET,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) over token n-gram sets. With `candidates`
-    (e.g. from LSH) computes only those pairs; otherwise all pairs sharing
-    ≥1 n-gram (explode + self-join on the gram — never a full cross join)."""
+    """(doc_a, doc_b, jaccard) over token n-gram sets — the exact verifier
+    behind an LSH prefilter (explode + self-join on the gram, never a full
+    cross join).
+
+    candidates (e.g. lsh_candidate_pairs output): the gram frame is
+    semi-joined to the candidate doc-id set BEFORE the self-join — both
+    join inputs, and the per-doc set sizes, touch only candidate docs, so
+    the expensive join is bounded by the prefilter's output, not the
+    corpus (the aggregated pairs are then semi-joined to the exact
+    candidate PAIRS, since two candidate docs are not necessarily a
+    candidate pair).
+
+    max_gram_freq (ON by default, mirroring DEFAULT_LSH_MAX_BUCKET):
+    grams present in more than this many (candidate-restricted) docs are
+    dropped before sizes and the join. A stopword n-gram shared by f docs
+    contributes f^2/2 join rows while carrying no dedup signal — on a web
+    corpus one boilerplate trigram is quadratic with no cap. Jaccard is
+    then computed over each doc's informative-gram subset; at any sane cap
+    this only perturbs pairs that were dominated by boilerplate anyway.
+    Pass None for the textbook set-Jaccard on corpora known skew-free."""
     from ..functions.text import ngrams
 
     grams = docs.select(
         F.col(doc_id).alias("doc_id"),
         F.explode(F.array_distinct(ngrams(tokenize_simple(text), n))).alias("gram"),
     )
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        grams = grams.join(cand_ids, "doc_id", "leftsemi")
+    if max_gram_freq is not None:
+        # heavy-hitter detection, not a full-frame restriction: the
+        # OVER-cap gram list is tiny by construction (few grams exceed a
+        # sane cap). It is resolved ONCE with a bounded eager job (one
+        # map-side-combined count whose shuffle volume is distinct grams,
+        # not gram rows) and applied as a literal filter — the gram frame
+        # never shuffles for the cap, and the three lazy consumers
+        # (sizes + both self-join sides) don't re-run the aggregate the
+        # way an inline anti-join subplan would. Above the literal budget
+        # (pathological corpus) it falls back to a broadcast anti-join.
+        bad = (
+            grams.groupBy("gram")
+            .count()
+            .filter(F.col("count") > max_gram_freq)
+            .select("gram")
+        )
+        heavy = [r["gram"] for r in bad.limit(_HEAVY_GRAM_LITERALS + 1).collect()]
+        if len(heavy) > _HEAVY_GRAM_LITERALS:
+            grams = grams.join(F.broadcast(bad), "gram", "left_anti")
+        elif heavy:
+            grams = grams.filter(~F.col("gram").isin(heavy))
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     inter = (
         grams.alias("a")
@@ -249,7 +296,9 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "leftsemi")
+        inter = inter.join(
+            candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "leftsemi"
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (

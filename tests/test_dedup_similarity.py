@@ -532,3 +532,46 @@ def test_adc_broadcast_guard_paths_identical(spark):
     assert "ShuffledHashJoin" in plan, plan
     assert sorted(map(tuple, shuffled_df.collect())) == base2
     indexed.unpersist()
+
+
+def test_jaccard_candidates_pushed_below_gram_join(spark):
+    # the candidate prefilter must restrict the gram self-join's INPUTS,
+    # not just the aggregated result — both join children carry a doc-id
+    # semi-join in the optimized plan (plus the pair-level semi-join above)
+    from tests.test_plans import plan_str
+
+    rows = [(i, f"common filler words here unique{i} tail{i} extra{i}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    df = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0, candidates=cand)
+    plan = plan_str(df)
+    assert plan.count("LeftSemi") >= 3, plan
+    got = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    # every doc shares the 'common filler words' trigram, but only the
+    # candidate pairs may appear
+    assert got <= {(1, 2), (3, 4)} and got
+    # and the values match the unrestricted run on those pairs
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    for r in df.collect():
+        assert abs(full[(r["doc_a"], r["doc_b"])] - r["jaccard"]) < 1e-12
+
+
+def test_jaccard_gram_frequency_cap(spark):
+    # a gram shared by every doc is dropped by the cap: the join emits no
+    # row for pairs whose ONLY overlap is the boilerplate gram
+    rows = [(i, f"boiler plate line unique{i} words{i} only{i}") for i in range(10)]
+    rows += [(100, "near dup pair alpha beta gamma"),
+             (101, "near dup pair alpha beta gammz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_gram_freq=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    # uncapped, the 10-doc boilerplate gram creates 45 extra pairs
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_gram_freq=None
+    ).count()
+    assert uncapped > 1
