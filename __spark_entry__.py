@@ -800,8 +800,8 @@ dft as (select term, count(distinct doc_id) as df from tf group by term),
 scored as (
   select tf.doc_id,
     (log10(cast(n_docs as double) + 1.0) - log10(df))
-    * ({delta!r} + (({k1!r} + 1.0) + tf)
-       / ({k1!r} * (1.0 - {b!r} + {b!r} * dl / cast(avgdl as double)) + tf))
+    * ({synth.dlit(delta)} + (({synth.dlit(k1)} + 1.0) + tf)
+       / ({synth.dlit(k1)} * (1.0 - {synth.dlit(b)} + {synth.dlit(b)} * dl / cast(avgdl as double)) + tf))
     as term_score
   from tf join dft using (term) join stats using (doc_id) cross join corpus
 )
@@ -1473,13 +1473,13 @@ scored as (
   select u.doc_id,
     (log10(cast(n_docs as double) - df + 0.5) - log10(df + 0.5)) as idf,
     case when field = 'name'
-      then {NAME_WEIGHT!r} * (tf / (1.0 + {NAME_B!r} * (dl_name / cast(avg_name as double) - 1.0)))
-      else {ADDRESS_WEIGHT!r} * (tf / (1.0 + {NAME_B!r} * (dl_addr / cast(avg_addr as double) - 1.0)))
+      then {synth.dlit(NAME_WEIGHT)} * (tf / (1.0 + {synth.dlit(NAME_B)} * (dl_name / cast(avg_name as double) - 1.0)))
+      else {synth.dlit(ADDRESS_WEIGHT)} * (tf / (1.0 + {synth.dlit(NAME_B)} * (dl_addr / cast(avg_addr as double) - 1.0)))
     end as w
   from uni u join dft using (term) join stats using (doc_id) cross join corpus
 )
 select cast(doc_id as bigint) as doc_id,
-       round(sum((w / ({K1_BM25F!r} + w)) * idf), 6) as score
+       round(sum((w / ({synth.dlit(K1_BM25F)} + w)) * idf), 6) as score
 from scored group by doc_id
 """
 

@@ -80,6 +80,7 @@ def extend_term_dict(
         parts.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
     )
     if not counts:
+        parts.unpersist(blocking=False)
         return term_dict
     offsets, acc = {}, base_max + 1
     for r in counts:
@@ -97,6 +98,11 @@ def extend_term_dict(
         .cast("long")
         .alias("term_id"),
     )
+    # materialize while the ranged layout is pinned, then free the cache
+    # (same rationale as search.term_dict: no session-lifetime leak, no
+    # boundary-resample hazard)
+    new_ids = new_ids.localCheckpoint(eager=True)
+    parts.unpersist(blocking=False)
     return term_dict.unionByName(new_ids)
 
 

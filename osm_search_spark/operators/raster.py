@@ -128,9 +128,13 @@ def rasterize_polygons(
         if n_probe > dim_threshold:
             return _rasterize_grouped(polygons, res, px, drop_empty)
 
-    # persist: the FULL and PARTIAL branches below both read the cover, and
-    # it is small (one row per polygon x bbox cell)
-    cover = classified_cover(polygons, res).persist()
+    # localCheckpoint (NOT persist): the FULL and PARTIAL branches below
+    # both read the cover, and it is small (one row per polygon x bbox
+    # cell). Checkpoint blocks are freed by the ContextCleaner when the
+    # frame goes out of scope — a persist() here would leak cached blocks
+    # for the session's lifetime since this function never sees the
+    # caller finish with the result
+    cover = classified_cover(polygons, res).localCheckpoint(eager=True)
     full_mask = bytes([0xFF]) * n_bytes
 
     full_part = cover.filter(F.col("full")).select(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize, tokenize_simple
+from ..sources.synth import dlit
 
 # Reference scoring constants (searcher.go:28-38)
 BM25F_K1, BM25F_NAME_W, BM25F_NAME_B, BM25F_ADDR_W, BM25F_ADDR_B = 10.0, 20.0, 0.95, 1.0, 0.3
@@ -111,12 +112,19 @@ def term_dict(tokens_df: DataFrame, id_partitions: int = 64) -> DataFrame:
     w = Window.partitionBy("_pid").orderBy(
         F.col("first.doc_id"), F.col("first.pos")
     )
-    return parts.select(
+    ids = parts.select(
         "term",
         (off[F.col("_pid")] + F.row_number().over(w) - 1)
         .cast("long")
         .alias("term_id"),
     )
+    # materialize the ids while the ranged layout is pinned, then free the
+    # cache — returning a frame that still depends on `parts` would leak
+    # the cached blocks for the session's lifetime (and an unpersist-then-
+    # recompute could resample different range boundaries => wrong ids)
+    ids = ids.localCheckpoint(eager=True)
+    parts.unpersist(blocking=False)
+    return ids
 
 
 def bm25_scores(
@@ -229,8 +237,8 @@ dft as (select term, count(distinct doc_id) as df from tf group by term),
 scored as (
   select tf.doc_id,
     ln((cast(n_docs as double) - df + 0.5) / (df + 0.5))
-      * (tf * ({k1!r} + 1.0))
-      / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / cast(avgdl as double)))
+      * (tf * ({dlit(k1)} + 1.0))
+      / (tf + {dlit(k1)} * (1.0 - {dlit(b)} + {dlit(b)} * dl / cast(avgdl as double)))
     as term_score
   from tf join dft using (term) join stats using (doc_id) cross join corpus
 )

@@ -40,6 +40,14 @@ NAME_WEIGHT, NAME_B = 20.0, 0.95
 ADDRESS_WEIGHT, ADDRESS_B = 1.0, 0.3
 
 
+# Per-token candidate bound shared by the per-query AND batch spell paths:
+# the cartesian interpretation fold is multiplicative in it (two OOV tokens
+# at 10k candidates each would be 10^8 interpretations), and both paths
+# must agree so batch_freeform_search stays row-for-row identical to
+# freeform_search. Candidates are taken in (d, term) order either way.
+DEFAULT_MAX_CANDIDATES_PER_TOKEN = 64
+
+
 def spell_candidates(
     term_dict: DataFrame, token: str, max_dist: int = 2,
     max_candidates: int = 10000,
@@ -80,6 +88,7 @@ def correct_query(
     top: int = 1,
     prefix_last: bool = False,
     stem_roots: "frozenset | None" = None,
+    max_candidates_per_token: int = DEFAULT_MAX_CANDIDATES_PER_TOKEN,
 ) -> list[list[str]]:
     """Tokenize + (optional stem) + vocab check + spell/prefix expand + LM
     rank.
@@ -120,7 +129,12 @@ def correct_query(
         elif tok in vocab:
             per_token.append([tok])
         else:
-            cands = spell_candidates(term_dict, tok, 2)
+            # same per-token cap as the batch path (same (d, term) order),
+            # so batch_freeform_search == freeform_search row-for-row and
+            # the interpretation fold stays bounded
+            cands = spell_candidates(term_dict, tok, 2)[
+                :max_candidates_per_token
+            ]
             per_token.append(cands or [tok])
     cands = candidate_queries(per_token)
     if len(cands) == 1:
@@ -134,7 +148,7 @@ def batch_correct_queries(
     term_dict: DataFrame,
     counts: DataFrame,
     max_dist: int = 2,
-    max_candidates_per_token: int = 64,
+    max_candidates_per_token: int = DEFAULT_MAX_CANDIDATES_PER_TOKEN,
     stem_roots: "frozenset | None" = None,
 ) -> list[list[str]]:
     """Spell-correct N queries with a CONSTANT number of Spark jobs.
@@ -173,7 +187,7 @@ def _batch_interps(
     top: int = 1,
     prefix_last: bool = False,
     max_dist: int = 2,
-    max_candidates_per_token: int = 64,
+    max_candidates_per_token: int = DEFAULT_MAX_CANDIDATES_PER_TOKEN,
     max_prefix: int = 10000,
     stem_roots: "frozenset | None" = None,
 ) -> list[list[list[str]]]:

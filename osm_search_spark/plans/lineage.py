@@ -78,7 +78,10 @@ def run_stage(
             .select("input_snapshot")
             .first()
         )
-        if rec is None or rec["input_snapshot"] == input_snapshot:
+        # an EMPTY lineage table cannot vouch for the committed output —
+        # treat it as a snapshot mismatch and rebuild (reusing here would
+        # reopen the stale-parameter hole the guard exists to close)
+        if rec is not None and rec["input_snapshot"] == input_snapshot:
             return spark.read.parquet(out_path)
     df = build()
     writer = df.write.mode("overwrite")
