@@ -276,6 +276,34 @@ from documents
 """
 
 
+# Q8c: REAL merge-based BPE token counting (Sennrich-style learned merges
+# applied per UNIQUE piece + join back; functions/bpe.py). The gate pins
+# the merge list (learned from REFERENCE_WORD_COUNTS, not the corpus, so
+# the oracle SQL is a fixed string) and checks the two independent APPLY
+# implementations against each other over the documents table: Spark's
+# codegen replace-chain over the distinct-piece dim vs DuckDB's inline
+# nested-replace fold per piece.
+def q_bpe_merge_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import bpe
+
+    return bpe.bpe_token_counts(
+        _docs(spark, sf_dir), bpe.reference_merges()
+    ).select("doc_id", "n_tokens")
+
+
+def sql_bpe_merge_token_count() -> str:
+    from osm_search_spark.functions import bpe
+    from osm_search_spark.functions.text import bpe_pieces_sql
+
+    counts = bpe.token_count_sql("text", bpe.reference_merges())
+    return f"""
+select cast(doc_id as bigint) as doc_id,
+       cast(list_sum({counts}) as bigint) as n_tokens
+from documents
+where len({bpe_pieces_sql('text')}) > 0
+"""
+
+
 # Q9: document frequency per term
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = search.doc_tokens(_docs(spark, sf_dir))
@@ -1730,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
+        "bpe_merge_token_count": q_bpe_merge_token_count,
         "term_df": q_term_df,
         "bigram_counts": q_bigrams,
         "exact_dedup": q_exact_dedup,
@@ -1785,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": sql_bm25(),
         "token_count": sql_token_count(),
         "bpe_token_count": sql_bpe_token_count(),
+        "bpe_merge_token_count": sql_bpe_merge_token_count(),
         "term_df": sql_term_df(),
         "bigram_counts": sql_bigrams(),
         "exact_dedup": sql_exact_dedup(),
