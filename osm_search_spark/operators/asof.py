@@ -157,7 +157,12 @@ def _salted_running_last(
     n_salt: int, ts_dtype: str,
 ) -> DataFrame:
     CH = _internal_names({K, T, SRC, STATE, ASOF}, "_chunk")[0]
-    chunked = _chunked(u, K, T, n_salt, ts_dtype, CH)
+    # materialize the chunk assignment ONCE: three subtrees consume it
+    # (the local window, the chunk-final aggregate, the chunk grid) and
+    # would otherwise each recompute the scan + stats join
+    chunked = _chunked(u, K, T, n_salt, ts_dtype, CH).localCheckpoint(
+        eager=True
+    )
     # phase A: running last WITHIN each (key, chunk) — the hot key's
     # timeline now spans n_salt tasks
     wa = (

@@ -1,0 +1,71 @@
+"""Streaming gap-based sessionization — the stateful twin of the batch
+`events_sessionize` gate query (lag + gap > threshold + running count per
+user), maintained per micro-batch with applyInPandasWithState.
+
+State per user = (epoch of the last event seen, running session counter):
+a new event starts a session when it is the user's first or its gap from
+the previous event exceeds `gap_sec`; session_id is the 1-based running
+count — exactly the batch window's `sum(new_sess) over (rows unbounded
+preceding)`.
+
+Ordering contract: events are processed in (ts, event_id) order WITHIN
+each micro-batch, and the state carries the last timestamp across
+batches, so a per-key in-order stream (the Kafka-keyed-by-user shape)
+reproduces the batch result row-for-row regardless of how events split
+across micro-batches (tested). A cross-batch late event (older than the
+user's last seen ts) still applies the gap rule at its arrival position —
+the same at-least-once ingest trade the streaming dedup documents; use
+the batch path for out-of-order backfills.
+
+Scale posture: state is hash-partitioned by user across executors (two
+longs per user — no event buffering); per-batch work is one sort of the
+user's batch slice. Nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_sec: int = 1800,
+    user: str = "user_id",
+    ts: str = "ts",
+    event_id: str = "event_id",
+) -> DataFrame:
+    """(user_id, event_id, session_id) for every arriving event; session
+    ids match the batch sessionize under per-key in-order delivery."""
+    import pandas as pd
+
+    def assign(key, pdfs, state):
+        if state.exists:
+            last_epoch, sess = state.get
+        else:
+            last_epoch, sess = None, 0
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values([ts, event_id])
+        out = []
+        for t in rows[ts]:
+            e = int(pd.Timestamp(t).value // 1_000_000_000)
+            if last_epoch is None or e - last_epoch > gap_sec:
+                sess += 1
+            last_epoch = e
+            out.append(sess)
+        state.update((last_epoch, sess))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": rows[event_id].to_numpy(),
+                "session_id": out,
+            }
+        )
+
+    return stream_df.groupBy(user).applyInPandasWithState(
+        assign,
+        outputStructType="user_id long, event_id long, session_id long",
+        stateStructType="last_epoch long, sess long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
