@@ -1741,6 +1741,59 @@ group by c.polygon_id
 """
 
 
+# Q49: polygon x polygon overlap join (operators/overlap_join.py) — two
+# deterministic rectangle layers derived from `part`; the operator runs
+# its GENERAL path (classified cover join + FULL∧FULL shortcut + exact
+# winding/segment refine) while the DuckDB twin states the same
+# closed-set predicate as pure interval algebra. All literals are exact
+# binary decimals (multiples of 1/32), so both sides compare bit-equal.
+def _rect_layer(spark: SparkSession, sf_dir: str, salt: int) -> DataFrame:
+    k = F.col("p_partkey")
+    x0 = F.pmod(k * (7919 + salt), 4000) * 0.03125
+    y0 = F.pmod(k * (104729 + 2 * salt), 2500) * 0.03125
+    x1 = x0 + (F.pmod(k, 40) + 1) * 0.03125
+    y1 = y0 + (F.pmod(k * 31, 40) + 1) * 0.03125
+    return (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            k.cast("long").alias("polygon_id"),
+            F.array(y0, y0, y1, y1, y0).alias("ring_lat"),
+            F.array(x0, x1, x1, x0, x0).alias("ring_lon"),
+        )
+    )
+
+
+def q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.overlap_join import polygon_overlap_join
+
+    return polygon_overlap_join(
+        _rect_layer(spark, sf_dir, 0), _rect_layer(spark, sf_dir, 17), res=8
+    )
+
+
+def sql_polygon_overlap() -> str:
+    c = synth.dlit(0.03125)
+
+    def layer(salt: int) -> str:
+        return f"""
+select p_partkey as id,
+  (p_partkey * {7919 + salt} % 4000) * {c} as x0,
+  (p_partkey * {104729 + 2 * salt} % 2500) * {c} as y0,
+  (p_partkey * {7919 + salt} % 4000) * {c}
+    + ((p_partkey % 40) + 1) * {c} as x1,
+  (p_partkey * {104729 + 2 * salt} % 2500) * {c}
+    + ((p_partkey * 31 % 40) + 1) * {c} as y1
+from part"""
+
+    return f"""
+with a as ({layer(0)}), b as ({layer(17)})
+select cast(a.id as bigint) as polygon_id_a,
+       cast(b.id as bigint) as polygon_id_b
+from a join b
+  on a.x0 <= b.x1 and b.x0 <= a.x1 and a.y0 <= b.y1 and b.y0 <= a.y1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join + tile assignment at sf0.001."""
     return q_spatial_tile_join(spark, SF001)
@@ -1759,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "bpe_merge_token_count": q_bpe_merge_token_count,
+        "polygon_overlap": q_polygon_overlap,
         "term_df": q_term_df,
         "bigram_counts": q_bigrams,
         "exact_dedup": q_exact_dedup,
@@ -1815,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": sql_token_count(),
         "bpe_token_count": sql_bpe_token_count(),
         "bpe_merge_token_count": sql_bpe_merge_token_count(),
+        "polygon_overlap": sql_polygon_overlap(),
         "term_df": sql_term_df(),
         "bigram_counts": sql_bigrams(),
         "exact_dedup": sql_exact_dedup(),

@@ -1,0 +1,155 @@
+"""Polygon x polygon overlap join — the layer-vs-layer companion of the
+point-in-polygon spatial join (beyond the reference, which only serves
+point queries over its R-tree; same cover machinery, spatial_join.py).
+
+Semantics: closed-set intersection — pairs whose polygons share at least
+one point, boundary contact included (the predicate a tile/parcel/admin
+overlay wants, and the one an axis-aligned oracle can state as `<=`
+interval tests).
+
+Plan (the 100 TB shape):
+  1. classified cell cover of BOTH layers at `res` (bbox cover + FULL /
+     PARTIAL classification, computed distributed — spatial_join.py);
+  2. equi hash join on cell_id -> candidate pairs; a pair sharing any
+     cell that is FULL on both sides is DECIDED (two full covers of one
+     cell must intersect) with no exact work — for large overlapping
+     polygons the decided bulk scales with AREA while the exact refine
+     below scales with PERIMETER;
+  3. undecided pairs join their ring arrays and run the exact test in
+     one Arrow batch pass: closed polygons intersect iff a vertex of one
+     is in-or-on the other OR any boundary segments intersect (proper
+     crossing, collinear overlap, and endpoint touches all count — the
+     orientation + on-segment test). Candidate pairs are bounded by the
+     cover join, so the O(edges_a x edges_b) kernel only ever sees
+     boundary-adjacent pairs.
+
+The DuckDB gate oracle states the same predicate on axis-aligned
+rectangles as pure interval algebra; concave and degenerate cases are
+covered by a numpy brute-force pytest oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions import geometry as G
+from .spatial_join import classified_cover
+
+
+def _orient(plat, plon, qlat, qlon, rlat, rlon):
+    return (qlon - plon) * (rlat - plat) - (qlat - plat) * (rlon - plon)
+
+
+def _on_collinear_seg(o, plat, plon, qlat, qlon, rlat, rlon):
+    """o == 0 (r collinear with pq) and r within pq's bbox => r on pq."""
+    return (
+        (o == 0.0)
+        & (rlat >= np.minimum(plat, qlat))
+        & (rlat <= np.maximum(plat, qlat))
+        & (rlon >= np.minimum(plon, qlon))
+        & (rlon <= np.maximum(plon, qlon))
+    )
+
+
+def _any_segments_intersect(rlA, rnA, rlB, rnB) -> bool:
+    """Any boundary segment of closed ring A intersects any of B —
+    vectorized all-pairs orientation test, touches and collinear overlap
+    included."""
+    a1la, a1lo = rlA[:-1, None], rnA[:-1, None]
+    a2la, a2lo = rlA[1:, None], rnA[1:, None]
+    b1la, b1lo = rlB[None, :-1], rnB[None, :-1]
+    b2la, b2lo = rlB[None, 1:], rnB[None, 1:]
+    o1 = _orient(a1la, a1lo, a2la, a2lo, b1la, b1lo)
+    o2 = _orient(a1la, a1lo, a2la, a2lo, b2la, b2lo)
+    o3 = _orient(b1la, b1lo, b2la, b2lo, a1la, a1lo)
+    o4 = _orient(b1la, b1lo, b2la, b2lo, a2la, a2lo)
+    hit = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+    hit |= _on_collinear_seg(o1, a1la, a1lo, a2la, a2lo, b1la, b1lo)
+    hit |= _on_collinear_seg(o2, a1la, a1lo, a2la, a2lo, b2la, b2lo)
+    hit |= _on_collinear_seg(o3, b1la, b1lo, b2la, b2lo, a1la, a1lo)
+    hit |= _on_collinear_seg(o4, b1la, b1lo, b2la, b2lo, a2la, a2lo)
+    return bool(hit.any())
+
+
+def rings_intersect(ring_lat_a, ring_lon_a, ring_lat_b, ring_lon_b) -> bool:
+    """Exact closed-set intersection of two simple polygons."""
+    rlA, rnA = G.close_ring(np.asarray(ring_lat_a), np.asarray(ring_lon_a))
+    rlB, rnB = G.close_ring(np.asarray(ring_lat_b), np.asarray(ring_lon_b))
+    # bbox reject (cheap; candidates are cover-adjacent already)
+    if (
+        rlA.max() < rlB.min() or rlB.max() < rlA.min()
+        or rnA.max() < rnB.min() or rnB.max() < rnA.min()
+    ):
+        return False
+    if G.points_in_polygon(rlA[:-1], rnA[:-1], rlB, rnB, boundary="exact").any():
+        return True
+    if G.points_in_polygon(rlB[:-1], rnB[:-1], rlA, rnA, boundary="exact").any():
+        return True
+    return _any_segments_intersect(rlA, rnA, rlB, rnB)
+
+
+def polygon_overlap_join(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    res: int = C.JOIN_RES,
+) -> DataFrame:
+    """(polygon_id_a, polygon_id_b) pairs of intersecting polygons. Both
+    inputs need (polygon_id, ring_lat, ring_lon)."""
+    cov_a = classified_cover(layer_a, res).select(
+        F.col("polygon_id").alias("polygon_id_a"),
+        "cell_id",
+        F.col("full").alias("full_a"),
+    )
+    cov_b = classified_cover(layer_b, res).select(
+        F.col("polygon_id").alias("polygon_id_b"),
+        "cell_id",
+        F.col("full").alias("full_b"),
+    )
+    pairs = (
+        cov_a.join(cov_b, "cell_id")
+        .groupBy("polygon_id_a", "polygon_id_b")
+        .agg(F.max(F.col("full_a") & F.col("full_b")).alias("decided"))
+    )
+    sure = pairs.filter("decided").select("polygon_id_a", "polygon_id_b")
+    cand = (
+        pairs.filter(~F.col("decided"))
+        .join(
+            layer_a.select(
+                F.col("polygon_id").alias("polygon_id_a"),
+                F.col("ring_lat").alias("rla"),
+                F.col("ring_lon").alias("rna"),
+            ),
+            "polygon_id_a",
+        )
+        .join(
+            layer_b.select(
+                F.col("polygon_id").alias("polygon_id_b"),
+                F.col("ring_lat").alias("rlb"),
+                F.col("ring_lon").alias("rnb"),
+            ),
+            "polygon_id_b",
+        )
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = [
+                rings_intersect(rla, rna, rlb, rnb)
+                for rla, rna, rlb, rnb in zip(
+                    pdf["rla"], pdf["rna"], pdf["rlb"], pdf["rnb"]
+                )
+            ]
+            yield pdf.loc[keep, ["polygon_id_a", "polygon_id_b"]]
+
+    checked = cand.mapInPandas(
+        refine, schema="polygon_id_a long, polygon_id_b long"
+    )
+    return sure.unionByName(checked)
