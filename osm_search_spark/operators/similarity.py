@@ -896,6 +896,42 @@ def ivfpq_build(
     return indexed, cent, books
 
 
+def ivfpq_encode(
+    corpus: DataFrame,
+    cent,
+    books,
+    corpus_vec: str = "embedding",
+    engine: str = "auto",
+) -> DataFrame:
+    """Encode vectors into an EXISTING IVF-PQ code space (coarse assign +
+    residual + PQ codes with the given models) — the apply half of
+    ivfpq_build, exposed for incremental maintenance."""
+    assigned = assign_clusters(
+        corpus, cent, corpus_vec, engine=engine, residual_col="_rvec"
+    )
+    return pq_encode(assigned, books, corpus_vec="_rvec").drop("_rvec")
+
+
+def ivfpq_extend(
+    indexed: DataFrame,
+    new_corpus: DataFrame,
+    cent,
+    books,
+    corpus_vec: str = "embedding",
+    engine: str = "auto",
+) -> DataFrame:
+    """Append a new vector batch to an existing IVF-PQ index WITHOUT
+    retraining: the same coarse centroids + codebooks define the code
+    space, so only the delta is assigned/encoded and unioned — encoding
+    is deterministic given the models, so extending equals re-encoding
+    the whole corpus bit-for-bit (tested). Retraining (centroid drift as
+    the corpus distribution shifts) is a rebuild-time decision, the same
+    posture as the n-gram OOV threshold in index_maintenance."""
+    return indexed.unionByName(
+        ivfpq_encode(new_corpus, cent, books, corpus_vec, engine)
+    )
+
+
 def ivfpq_topk(
     probes: DataFrame,
     indexed: DataFrame,

@@ -575,3 +575,37 @@ def test_jaccard_gram_frequency_cap(spark):
         docs, n=3, threshold=0.1, max_gram_freq=None
     ).count()
     assert uncapped > 1
+
+
+def test_ivfpq_extend_equals_full_encode(spark):
+    # incremental ANN maintenance: appending a batch under the existing
+    # models must equal encoding the whole corpus in one shot, bit for
+    # bit, and searches over the extended index match the full index
+    from osm_search_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    indexed, cent, books = S.ivfpq_build(emb, n_centroids=8, m=16, kc=32)
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    ext = S.ivfpq_extend(
+        S.ivfpq_encode(half1, cent, books), half2, cent, books
+    )
+
+    def key(df):
+        return sorted(
+            (r["vec_id"], r["cluster_id"], tuple(r["codes"]))
+            for r in df.collect()
+        )
+
+    assert key(ext) == key(indexed)
+
+    probes = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    full_res = sorted(
+        map(tuple, S.ivfpq_topk(probes, indexed, cent, books, k=5, n_probe=4).collect())
+    )
+    ext_res = sorted(
+        map(tuple, S.ivfpq_topk(probes, ext, cent, books, k=5, n_probe=4).collect())
+    )
+    assert ext_res == full_res
