@@ -1741,6 +1741,22 @@ group by c.polygon_id
 """
 
 
+# Q50: HyperLogLog register table over the documents corpus
+# (functions/sketch.py) — the engine-portable distinct sketch: the gate
+# checks INTEGER register parity (hash, register index, leading-zero
+# rank all recomputed independently by DuckDB), not a float estimate.
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import sketch
+
+    return sketch.hll_registers(_docs(spark, sf_dir), "text", p=8)
+
+
+def sql_hll_registers() -> str:
+    from osm_search_spark.functions import sketch
+
+    return sketch.hll_registers_sql("documents", "text", p=8)
+
+
 # Q49: polygon x polygon overlap join (operators/overlap_join.py) — two
 # deterministic rectangle layers derived from `part`; the operator runs
 # its GENERAL path (classified cover join + FULL∧FULL shortcut + exact
@@ -1813,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "bpe_merge_token_count": q_bpe_merge_token_count,
         "polygon_overlap": q_polygon_overlap,
+        "hll_registers": q_hll_registers,
         "term_df": q_term_df,
         "bigram_counts": q_bigrams,
         "exact_dedup": q_exact_dedup,
@@ -1870,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": sql_bpe_token_count(),
         "bpe_merge_token_count": sql_bpe_merge_token_count(),
         "polygon_overlap": sql_polygon_overlap(),
+        "hll_registers": sql_hll_registers(),
         "term_df": sql_term_df(),
         "bigram_counts": sql_bigrams(),
         "exact_dedup": sql_exact_dedup(),
