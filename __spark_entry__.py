@@ -1757,6 +1757,22 @@ def sql_hll_registers() -> str:
     return sketch.hll_registers_sql("documents", "text", p=8)
 
 
+# Q51: Bloom filter word table over the documents corpus
+# (functions/bloom.py) — the shuffle-free join-pruning primitive as
+# mergeable data; the gate checks bit-exact word parity against an
+# independent DuckDB derivation (same md5-prefix hash, 30-bit words).
+def q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import bloom
+
+    return bloom.bloom_build(_docs(spark, sf_dir), "text")
+
+
+def sql_bloom_words() -> str:
+    from osm_search_spark.functions import bloom
+
+    return bloom.bloom_sql("documents", "text")
+
+
 # Q49: polygon x polygon overlap join (operators/overlap_join.py) — two
 # deterministic rectangle layers derived from `part`; the operator runs
 # its GENERAL path (classified cover join + FULL∧FULL shortcut + exact
@@ -1830,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_token_count": q_bpe_merge_token_count,
         "polygon_overlap": q_polygon_overlap,
         "hll_registers": q_hll_registers,
+        "bloom_words": q_bloom_words,
         "term_df": q_term_df,
         "bigram_counts": q_bigrams,
         "exact_dedup": q_exact_dedup,
@@ -1888,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_token_count": sql_bpe_merge_token_count(),
         "polygon_overlap": sql_polygon_overlap(),
         "hll_registers": sql_hll_registers(),
+        "bloom_words": sql_bloom_words(),
         "term_df": sql_term_df(),
         "bigram_counts": sql_bigrams(),
         "exact_dedup": sql_exact_dedup(),
