@@ -99,47 +99,18 @@ def correct_query(
     prefix_last=True gives autocomplete semantics: the last token expands by
     prefix match (GetMatchedWordBasedOnPrefix, spell_corrector.go:160-188)
     instead of edit distance, and `top` interpretations return (3 in the
-    reference)."""
-    tokens = [t for t in query.lower().split() if t]
-    if stem_roots is not None:
-        from ..functions.stemmer import stem
+    reference).
 
-        tokens = [stem(t, stem_roots) for t in tokens]
-    if not tokens:
-        raise ValueError("query is empty")
-    # vocab membership via a tiny-frame semi-join — NOT a full term_dict
-    # collect (a 100 TB-corpus dictionary would OOM the driver); only the
-    # query's own tokens come back
-    tok_frame = spark.createDataFrame([(t,) for t in set(tokens)], "term string")
-    vocab = {
-        r["term"] for r in tok_frame.join(term_dict, "term", "leftsemi").collect()
-    }
-    per_token: list[list[str]] = []
-    for i, tok in enumerate(tokens):
-        if prefix_last and i == len(tokens) - 1:
-            # bounded + deterministic: a 1-char prefix against a web-scale
-            # dictionary must not collect unboundedly (the LM can only
-            # rank so many interpretations anyway)
-            matches = [
-                r["term"]
-                for r in term_dict.filter(F.col("term").startswith(tok))
-                .orderBy("term").limit(10000).collect()
-            ]
-            per_token.append(matches or [tok])
-        elif tok in vocab:
-            per_token.append([tok])
-        else:
-            # same per-token cap as the batch path (same (d, term) order),
-            # so batch_freeform_search == freeform_search row-for-row and
-            # the interpretation fold stays bounded
-            cands = spell_candidates(term_dict, tok, 2)[
-                :max_candidates_per_token
-            ]
-            per_token.append(cands or [tok])
-    cands = candidate_queries(per_token)
-    if len(cands) == 1:
-        return cands
-    return ngram_lm.best_query(spark, cands, counts, top=top)
+    Round 4: a batch of one on the batched spell spine (_batch_interps) —
+    the per-query path previously issued one bounded levenshtein collect
+    PER OOV token (linear jobs per query); now vocab probe + candidate
+    generation + LM rank are each one job regardless of token count, and
+    per-query and batch corrections share one audited code path."""
+    return _batch_interps(
+        spark, [query], term_dict, counts, top=top, prefix_last=prefix_last,
+        max_candidates_per_token=max_candidates_per_token,
+        stem_roots=stem_roots,
+    )[0]
 
 
 def batch_correct_queries(
