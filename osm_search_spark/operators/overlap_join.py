@@ -100,9 +100,18 @@ def polygon_overlap_join(
     layer_a: DataFrame,
     layer_b: DataFrame,
     res: int = C.JOIN_RES,
+    heavy: str | None = None,
 ) -> DataFrame:
     """(polygon_id_a, polygon_id_b) pairs of intersecting polygons. Both
-    inputs need (polygon_id, ring_lat, ring_lon)."""
+    inputs need (polygon_id, ring_lat, ring_lon).
+
+    heavy: None | "a" | "b" — the refine stage joins ring arrays onto the
+    undecided pair frame, so by default each ring rides once per
+    candidate pair. For a PERIMETER-HEAVY layer (long rings, dense
+    adjacency) pass that side as `heavy`: its rings then ship ONCE PER
+    POLYGON via an applyInPandas cogroup keyed on its polygon_id (the
+    rasterize-grouped pattern), and only the light side's rings ride per
+    pair. Identical output (tested)."""
     cov_a = classified_cover(layer_a, res).select(
         F.col("polygon_id").alias("polygon_id_a"),
         "cell_id",
@@ -119,24 +128,36 @@ def polygon_overlap_join(
         .agg(F.max(F.col("full_a") & F.col("full_b")).alias("decided"))
     )
     sure = pairs.filter("decided").select("polygon_id_a", "polygon_id_b")
-    cand = (
-        pairs.filter(~F.col("decided"))
-        .join(
-            layer_a.select(
-                F.col("polygon_id").alias("polygon_id_a"),
-                F.col("ring_lat").alias("rla"),
-                F.col("ring_lon").alias("rna"),
-            ),
-            "polygon_id_a",
-        )
-        .join(
-            layer_b.select(
-                F.col("polygon_id").alias("polygon_id_b"),
-                F.col("ring_lat").alias("rlb"),
-                F.col("ring_lon").alias("rnb"),
-            ),
-            "polygon_id_b",
-        )
+    undecided = pairs.filter(~F.col("decided")).select(
+        "polygon_id_a", "polygon_id_b"
+    )
+
+    if heavy in ("a", "b"):
+        checked = _refine_grouped(undecided, layer_a, layer_b, heavy)
+    elif heavy is None:
+        checked = _refine_joined(undecided, layer_a, layer_b)
+    else:
+        raise ValueError("heavy must be None, 'a', or 'b'")
+    return sure.unionByName(checked)
+
+
+def _refine_joined(
+    undecided: DataFrame, layer_a: DataFrame, layer_b: DataFrame
+) -> DataFrame:
+    cand = undecided.join(
+        layer_a.select(
+            F.col("polygon_id").alias("polygon_id_a"),
+            F.col("ring_lat").alias("rla"),
+            F.col("ring_lon").alias("rna"),
+        ),
+        "polygon_id_a",
+    ).join(
+        layer_b.select(
+            F.col("polygon_id").alias("polygon_id_b"),
+            F.col("ring_lat").alias("rlb"),
+            F.col("ring_lon").alias("rnb"),
+        ),
+        "polygon_id_b",
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,7 +170,44 @@ def polygon_overlap_join(
             ]
             yield pdf.loc[keep, ["polygon_id_a", "polygon_id_b"]]
 
-    checked = cand.mapInPandas(
+    return cand.mapInPandas(
         refine, schema="polygon_id_a long, polygon_id_b long"
     )
-    return sure.unionByName(checked)
+
+
+def _refine_grouped(
+    undecided: DataFrame, layer_a: DataFrame, layer_b: DataFrame, heavy: str
+) -> DataFrame:
+    """Cogroup refine: the heavy side's rings shuffle once per POLYGON
+    (group payload), the light side's rings ride per pair."""
+    light_layer = layer_b if heavy == "a" else layer_a
+    heavy_layer = layer_a if heavy == "a" else layer_b
+    light_key = "polygon_id_b" if heavy == "a" else "polygon_id_a"
+    heavy_key = "polygon_id_a" if heavy == "a" else "polygon_id_b"
+    cand = undecided.join(
+        light_layer.select(
+            F.col("polygon_id").alias(light_key),
+            F.col("ring_lat").alias("rl_light"),
+            F.col("ring_lon").alias("rn_light"),
+        ),
+        light_key,
+    )
+
+    def refine_group(key, pairs_pdf: pd.DataFrame, heavy_pdf: pd.DataFrame):
+        if pairs_pdf.empty or heavy_pdf.empty:
+            return pd.DataFrame(
+                {"polygon_id_a": [], "polygon_id_b": []}
+            ).astype("int64")
+        hl = heavy_pdf["ring_lat"].iloc[0]
+        hn = heavy_pdf["ring_lon"].iloc[0]
+        keep = [
+            rings_intersect(hl, hn, rl, rn)
+            for rl, rn in zip(pairs_pdf["rl_light"], pairs_pdf["rn_light"])
+        ]
+        return pairs_pdf.loc[keep, ["polygon_id_a", "polygon_id_b"]]
+
+    return (
+        cand.groupBy(heavy_key)
+        .cogroup(heavy_layer.groupBy("polygon_id"))
+        .applyInPandas(refine_group, "polygon_id_a long, polygon_id_b long")
+    )

@@ -101,6 +101,15 @@ def test_polygon_overlap_join_matches_allpairs_kernel(spark):
         (r["polygon_id_a"], r["polygon_id_b"])
         for r in polygon_overlap_join(layers[0], layers[1], res=10).collect()
     }
+    # grouped refine (heavy side cogrouped) must be pair-identical
+    for heavy in ("a", "b"):
+        grouped = {
+            (r["polygon_id_a"], r["polygon_id_b"])
+            for r in polygon_overlap_join(
+                layers[0], layers[1], res=10, heavy=heavy
+            ).collect()
+        }
+        assert grouped == got, heavy
     a_rows = {r["polygon_id"]: (r["ring_lat"], r["ring_lon"]) for r in layers[0].collect()}
     b_rows = {r["polygon_id"]: (r["ring_lat"], r["ring_lon"]) for r in layers[1].collect()}
     want = {
