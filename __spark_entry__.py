@@ -1757,6 +1757,29 @@ def sql_hll_registers() -> str:
     return sketch.hll_registers_sql("documents", "text", p=8)
 
 
+# Q52: count-min counter table over the documents corpus (token stream)
+# (functions/countmin.py) — frequency sketch as mergeable data; the gate
+# checks the INTEGER counter table against an independent DuckDB
+# derivation (same md5-prefix row-salted positions).
+def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import countmin
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_simple("text")).alias("tok")
+    )
+    return countmin.cms_build(toks, "tok", w=1024, d=4)
+
+
+def sql_cms_counters() -> str:
+    from osm_search_spark.functions import countmin
+
+    tok_rel = (
+        "(select unnest(list_filter(string_split(lower(text), ' '), "
+        "t -> t <> '')) as tok from documents)"
+    )
+    return countmin.cms_sql(tok_rel, "tok", w=1024, d=4)
+
+
 # Q51: Bloom filter word table over the documents corpus
 # (functions/bloom.py) — the shuffle-free join-pruning primitive as
 # mergeable data; the gate checks bit-exact word parity against an
@@ -1847,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlap": q_polygon_overlap,
         "hll_registers": q_hll_registers,
         "bloom_words": q_bloom_words,
+        "cms_counters": q_cms_counters,
         "term_df": q_term_df,
         "bigram_counts": q_bigrams,
         "exact_dedup": q_exact_dedup,
@@ -1906,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlap": sql_polygon_overlap(),
         "hll_registers": sql_hll_registers(),
         "bloom_words": sql_bloom_words(),
+        "cms_counters": sql_cms_counters(),
         "term_df": sql_term_df(),
         "bigram_counts": sql_bigrams(),
         "exact_dedup": sql_exact_dedup(),
