@@ -39,10 +39,9 @@ def _pow2_arr():
 
 
 def _pos(col, i: int, m_bits: int):
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
     h = F.conv(
-        F.substring(F.md5(F.concat(F.col(col) if isinstance(col, str) else col,
-                                   F.lit(f"#{i}"))), 1, 15),
-        16, 10,
+        F.substring(F.md5(F.concat(c, F.lit(f"#{i}"))), 1, 15), 16, 10
     ).cast("long")
     return F.pmod(h, F.lit(m_bits))
 

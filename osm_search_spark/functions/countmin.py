@@ -33,13 +33,9 @@ DEFAULT_D = 4
 
 
 def _pos(col, i: int, w: int):
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
     h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(col) if isinstance(col, str) else col,
-                           F.lit(f"@{i}"))),
-            1, 15,
-        ),
-        16, 10,
+        F.substring(F.md5(F.concat(c, F.lit(f"@{i}"))), 1, 15), 16, 10
     ).cast("long")
     return F.pmod(h, F.lit(w))
 
@@ -85,20 +81,31 @@ def cms_lookup(
     """keys + `est` (long): the count-min estimate for each key row —
     d broadcast joins of the (tiny) counter table, min across rows;
     absent counters read as 0. Never underestimates (tested)."""
+    # collision-proof working columns (user key frames may contain any name)
+    taken = set(keys.columns)
+
+    def name(base):
+        while base in taken:
+            base = "_" + base
+        taken.add(base)
+        return base
+
     out = keys
     ests = []
+    drop = []
     for i in range(d):
+        pc, nc = name(f"_p{i}"), name(f"_n{i}")
         cmi = cms.filter(F.col("row") == i).select(
-            F.col("pos").alias(f"_p{i}"), F.col("n").alias(f"_n{i}")
+            F.col("pos").alias(pc), F.col("n").alias(nc)
         )
-        out = out.withColumn(f"_p{i}", _pos(col, i, w)).join(
-            F.broadcast(cmi), f"_p{i}", "left"
+        out = out.withColumn(pc, _pos(col, i, w)).join(
+            F.broadcast(cmi), pc, "left"
         )
-        ests.append(F.coalesce(F.col(f"_n{i}"), F.lit(0)))
+        ests.append(F.coalesce(F.col(nc), F.lit(0)))
+        drop += [pc, nc]
     est = ests[0]
     for e in ests[1:]:
         est = F.least(est, e)
-    drop = [c for i in range(d) for c in (f"_p{i}", f"_n{i}")]
     return out.withColumn("est", est.cast("long")).drop(*drop)
 
 
