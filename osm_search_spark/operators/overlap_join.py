@@ -101,9 +101,16 @@ def polygon_overlap_join(
     layer_b: DataFrame,
     res: int = C.JOIN_RES,
     heavy: str | None = None,
+    same_layer: bool = False,
 ) -> DataFrame:
     """(polygon_id_a, polygon_id_b) pairs of intersecting polygons. Both
     inputs need (polygon_id, ring_lat, ring_lon).
+
+    same_layer=True: self-overlap mode (pass the SAME frame twice — the
+    parcel-overlap / conflation shape): self-pairs drop and each
+    unordered pair reports once as (lower_id, higher_id), with the
+    restriction applied BEFORE the pair aggregation and refine so no
+    duplicate exact work runs.
 
     heavy: None | "a" | "b" — the refine stage joins ring arrays onto the
     undecided pair frame, so by default each ring rides once per
@@ -122,10 +129,13 @@ def polygon_overlap_join(
         "cell_id",
         F.col("full").alias("full_b"),
     )
-    pairs = (
-        cov_a.join(cov_b, "cell_id")
-        .groupBy("polygon_id_a", "polygon_id_b")
-        .agg(F.max(F.col("full_a") & F.col("full_b")).alias("decided"))
+    joined = cov_a.join(cov_b, "cell_id")
+    if same_layer:
+        # drop self-pairs and keep one order BEFORE aggregating: halves
+        # the pair frame and the exact refine work
+        joined = joined.filter(F.col("polygon_id_a") < F.col("polygon_id_b"))
+    pairs = joined.groupBy("polygon_id_a", "polygon_id_b").agg(
+        F.max(F.col("full_a") & F.col("full_b")).alias("decided")
     )
     sure = pairs.filter("decided").select("polygon_id_a", "polygon_id_b")
     undecided = pairs.filter(~F.col("decided")).select(

@@ -119,3 +119,23 @@ def test_polygon_overlap_join_matches_allpairs_kernel(spark):
         if rings_intersect(la, na, lb, nb)
     }
     assert got == want and len(want) > 5
+
+
+def test_polygon_overlap_self_join_mode(spark):
+    rows = [
+        (1, *_rect(0.0, 0.0, 1.0, 1.0)),
+        (2, *_rect(0.5, 0.5, 1.5, 1.5)),  # overlaps 1
+        (3, *_rect(5.0, 5.0, 6.0, 6.0)),  # disjoint
+        (4, *_rect(5.5, 5.5, 6.5, 6.5)),  # overlaps 3
+    ]
+    layer = spark.createDataFrame(
+        [(i, la, no) for i, la, no in rows],
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+    )
+    got = {
+        (r["polygon_id_a"], r["polygon_id_b"])
+        for r in polygon_overlap_join(
+            layer, layer, res=8, same_layer=True
+        ).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
