@@ -30,7 +30,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "CURRENT"
-_KEEP_VERSIONS = 2  # current + previous (crash-recovery window)
+# Snapshot-expiry window: current + previous survive; older versions are
+# retired at the next commit. A reader pinned to a snapshot older than
+# the window can lose its files — the standard Iceberg expire-snapshots
+# trade; raise for long-running readers.
+_KEEP_VERSIONS = 2
 
 
 def read_pointer(table_dir: str) -> dict | None:

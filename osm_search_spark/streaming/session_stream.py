@@ -36,8 +36,14 @@ def sessionize_stream(
     event_id: str = "event_id",
 ) -> DataFrame:
     """(user_id, event_id, session_id) for every arriving event; session
-    ids match the batch sessionize under per-key in-order delivery."""
+    ids match the batch sessionize under per-key in-order delivery. Key
+    and event-id output types follow the input schema."""
     import pandas as pd
+
+    dt = dict(stream_df.dtypes)
+    out_schema = (
+        f"user_id {dt[user]}, event_id {dt[event_id]}, session_id long"
+    )
 
     def assign(key, pdfs, state):
         if state.exists:
@@ -64,7 +70,7 @@ def sessionize_stream(
 
     return stream_df.groupBy(user).applyInPandasWithState(
         assign,
-        outputStructType="user_id long, event_id long, session_id long",
+        outputStructType=out_schema,
         stateStructType="last_epoch long, sess long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

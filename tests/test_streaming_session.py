@@ -90,3 +90,35 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got == want and len(want) == 24
     # the fixture really exercises multi-session users
     assert max(want.values()) >= 2
+
+
+def test_streaming_sessionize_string_keys(spark, tmp_path):
+    # output key/event types follow the input schema (not hardcoded longs)
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"event_id": "e1", "user_id": "alice", "ts": "2024-01-01 00:00:00"},
+        {"event_id": "e2", "user_id": "alice", "ts": "2024-01-01 01:10:00"},
+        {"event_id": "e3", "user_id": "bob", "ts": "2024-01-01 00:05:00"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("event_id string, user_id string, ts timestamp")
+        .json(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.format("memory")
+        .queryName("sess_str")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_id"]): r["session_id"]
+            for r in spark.sql("select * from sess_str").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {("alice", "e1"): 1, ("alice", "e2"): 2, ("bob", "e3"): 1}
