@@ -1855,7 +1855,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING POLICY: newest / least-proven entries FIRST. The driver may
+    # cap its correctness run at a query-count budget taken in dict order
+    # (round 4 ran 50 of 53 and silently dropped the last three), so the
+    # tail should hold the oldest, most-stable queries — the ones with the
+    # longest green history — never the entries added this round.
     return {
+        "range_band_join": q_range_join,
+        "hourly_rollup": q_hourly_rollup,
+        "coverage_zonal": q_coverage_zonal,
         "spatial_tile_join": q_spatial_tile_join,
         "tile_assign": q_tile_assign,
         "admin_first_match": q_admin_first_match,
@@ -1906,9 +1914,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "winnow_fingerprints": q_winnow,
         "asof_enrich": q_asof,
-        "range_band_join": q_range_join,
-        "hourly_rollup": q_hourly_rollup,
-        "coverage_zonal": q_coverage_zonal,
     }
 
 
@@ -1916,6 +1921,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return {
+        "range_band_join": sql_range_join(),
+        "hourly_rollup": sql_hourly_rollup(),
+        "coverage_zonal": sql_coverage_zonal(),
         "spatial_tile_join": sql_spatial_tile_join(),
         "tile_assign": sql_tile_assign(),
         "admin_first_match": sql_admin_first_match(),
@@ -1966,7 +1974,4 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": sql_pii_redact(),
         "winnow_fingerprints": sql_winnow(),
         "asof_enrich": sql_asof(),
-        "range_band_join": sql_range_join(),
-        "hourly_rollup": sql_hourly_rollup(),
-        "coverage_zonal": sql_coverage_zonal(),
     }

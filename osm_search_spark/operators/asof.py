@@ -157,6 +157,23 @@ def _salted_running_last(
     n_salt: int, ts_dtype: str,
 ) -> DataFrame:
     CH = _internal_names({K, T, SRC, STATE, ASOF}, "_chunk")[0]
+    # NULL join keys: the unsalted window groups all-null keys into ONE
+    # partition (SQL window semantics), but _chunked's stats equi-join is
+    # not null-safe and would silently drop them. Route null-key rows
+    # through the plain running window and union them back — output stays
+    # identical to the unsalted plan. (A null key is by definition not a
+    # hot SALTABLE key for this remedy; if all-null is itself the hot key,
+    # filter upstream.)
+    nulls = u.filter(F.col(K).isNull())
+    u = u.filter(F.col(K).isNotNull())
+    w_null = (
+        Window.partitionBy(K)
+        .orderBy(T, SRC)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    null_out = nulls.withColumn(
+        ASOF, F.last(STATE, ignorenulls=True).over(w_null)
+    )
     # materialize the chunk assignment ONCE: three subtrees consume it
     # (the local window, the chunk-final aggregate, the chunk grid) and
     # would otherwise each recompute the scan + stats join
@@ -193,8 +210,9 @@ def _salted_running_last(
         .withColumn("_carry", F.last("_final", ignorenulls=True).over(wb))
         .select(K, CH, "_carry")
     )
-    return (
+    salted = (
         local.join(bounds, [K, CH], "left")
         .withColumn(ASOF, F.coalesce(F.col(ASOF), F.col("_carry")))
         .drop(CH, "_carry")
     )
+    return salted.unionByName(null_out)

@@ -202,7 +202,13 @@ def _coarse_engine(engine: str, n_centroids: int) -> str:
 def _probe_sims(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """(n, k) cosine-to-centroid matrix matching _centroid_sims: dot with
     the (unit-norm) centroid, divided by ||x||+1e-12 — the same expression
-    the Column path evaluates, so near-ties resolve identically."""
+    the Column path evaluates. EXACT ties (bit-equal sims) resolve
+    identically (lowest id, see the argmax below); but numpy's BLAS matmul
+    sums in a different order than Spark's sequential aggregate fold, so a
+    NEAR-tie (sims differing only in the last ULP) can assign differently
+    across engines — engine="auto" may change assignments at the
+    _ARROW_CENTROID_THRESHOLD boundary for vectors nearly equidistant to
+    two centroids. Strict cross-engine determinism is not claimed."""
     norms = np.sqrt((X * X).sum(axis=1, keepdims=True)) + 1e-12
     return (X @ C.T) / norms
 

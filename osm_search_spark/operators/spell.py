@@ -45,6 +45,17 @@ ADDRESS_WEIGHT, ADDRESS_B = 1.0, 0.3
 # at 10k candidates each would be 10^8 interpretations), and both paths
 # must agree so batch_freeform_search stays row-for-row identical to
 # freeform_search. Candidates are taken in (d, term) order either way.
+#
+# BEHAVIOR CHANGE (round 4, documented round 5): before the paths were
+# unified, the single-query correct_query pooled up to 10,000 candidates
+# per OOV token; it now shares this 64-candidate default so that
+# batch_correct_queries == [correct_query(q) for q] holds row-for-row
+# (tested). On a large dictionary where an OOV token has >64 terms within
+# edit distance 2, the LM may therefore no longer see the best candidate
+# and the correction can differ from the old behavior. Single-query
+# callers who want the old pool can afford it — pass
+# max_candidates_per_token=10000 explicitly (the fold is multiplicative,
+# so only do this when queries have few OOV tokens).
 DEFAULT_MAX_CANDIDATES_PER_TOKEN = 64
 
 

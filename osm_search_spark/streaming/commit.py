@@ -5,16 +5,27 @@ maintains a mergeable table (continuous rollup, streaming sketches).
 foreachBatch is at-least-once; an additive/mergeable table needs:
 
 - **Snapshot-pointer commits** (the Iceberg model, stood in locally the
-  same way plans/lineage.py documents): every commit writes a NEW version
-  directory ``<table_dir>/v<batch_id>`` and then atomically replaces the
-  ``CURRENT`` pointer file (write tmp + ``os.replace``, atomic on POSIX).
-  A crash mid-write leaves the previous pointer — and the previous
-  committed snapshot — fully intact.
-- **Replay skip**: the pointer records the ``batch_id`` that produced the
-  snapshot; a replayed micro-batch (same or older id) is skipped, so the
-  merge applies exactly once per batch.
-- **Fail loud on corruption**: a table root with version dirs but no
-  readable pointer raises instead of silently re-initialising.
+  same way plans/lineage.py documents): every commit stages a NEW version
+  directory under ``_staging_v<seq>``, renames it to
+  ``<table_dir>/v<seq>`` (atomic on POSIX), and then atomically replaces
+  the ``CURRENT`` pointer file (write tmp + ``os.replace``). A crash at
+  any point leaves the previous pointer — and the previous committed
+  snapshot — fully intact; a crash during the data write leaves only a
+  staging dir that the next attempt overwrites.
+- **Replay skip keyed on (stream_id, batch_id)** — the Delta
+  (appId, batchId) idempotence key. A replayed micro-batch from the SAME
+  stream (same id, same or older batch id) is skipped, so the merge
+  applies exactly once per batch. A DIFFERENT stream (fresh checkpoint →
+  batch ids restart at 0) is new data and merges normally; its batches
+  are never silently discarded. `start_merge_stream` uses the normalized
+  checkpoint path as the stream identity (stable across restarts, unique
+  per logical stream).
+- **Fail loud on corruption**: a table root with committed version dirs
+  but no readable pointer raises for READERS instead of silently
+  re-initialising. The one recoverable writer case: a crash between the
+  FIRST commit's dir rename and its pointer write leaves exactly `v0`
+  and no pointer (no pointer can ever have existed once v1+ exists) —
+  the replaying writer clears the orphan and redoes the merge.
 
 `start_merge_stream` is the generic operator: callers supply ONE
 function `merge_batch(committed_or_None, batch_df) -> new snapshot` and
@@ -25,11 +36,14 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "CURRENT"
+_VERSION_RE = re.compile(r"^v(\d+)$")
+_STAGING_PREFIX = "_staging_"
 # Snapshot-expiry window: current + previous survive; older versions are
 # retired at the next commit. A reader pinned to a snapshot older than
 # the window can lose its files — the standard Iceberg expire-snapshots
@@ -37,19 +51,30 @@ _POINTER = "CURRENT"
 _KEEP_VERSIONS = 2
 
 
+def _version_dirs(table_dir: str) -> list[str]:
+    """Committed-shape version dirs (v<seq>), sorted by seq. Staging dirs
+    are uncommitted garbage and never count."""
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        (e for e in os.listdir(table_dir) if _VERSION_RE.match(e)),
+        key=lambda e: int(e[1:]),
+    )
+
+
 def read_pointer(table_dir: str) -> dict | None:
     """Parse <table_dir>/CURRENT, or None if the table was never committed.
 
     Raises RuntimeError if the root holds version dirs but no pointer —
-    that is a half-deleted/corrupted table, not an empty one.
+    that is a half-deleted/corrupted table, not an empty one. (Staging
+    dirs from a crashed data write don't trip this; they were never
+    committed.)
     """
     ptr = os.path.join(table_dir, _POINTER)
     if os.path.exists(ptr):
         with open(ptr) as f:
             return json.load(f)
-    if os.path.isdir(table_dir) and any(
-        e.startswith("v") for e in os.listdir(table_dir)
-    ):
+    if _version_dirs(table_dir):
         raise RuntimeError(
             f"streaming table {table_dir!r} has version directories but no "
             f"{_POINTER} pointer; refusing to re-initialise over committed "
@@ -66,12 +91,51 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, rec["version"]))
 
 
+def _rec_seq(rec: dict) -> int:
+    # legacy pointers (pre round 5) recorded no seq; their version name
+    # was v<batch_id>, which is still a valid monotonic seq for them
+    return rec["seq"] if "seq" in rec else int(rec["version"][1:])
+
+
+def _should_skip(rec: dict | None, stream_id, batch_id: int) -> bool:
+    """The (stream_id, batch_id) idempotence rule. Legacy pointers (or
+    direct callers passing stream_id=None) fall back to batch-id-only —
+    the pre-round-5 behavior, which cannot tell a fresh-checkpoint
+    restart from a replay; pass a stream_id to get the real key."""
+    if rec is None:
+        return False
+    if stream_id is None or "stream_id" not in rec:
+        return batch_id <= rec["batch_id"]
+    return rec["stream_id"] == stream_id and batch_id <= rec["batch_id"]
+
+
 def commit_batch(
-    spark: SparkSession, table_dir: str, batch_id: int, merge_batch, batch_df
+    spark: SparkSession,
+    table_dir: str,
+    batch_id: int,
+    merge_batch,
+    batch_df,
+    stream_id: str | None = None,
 ) -> None:
-    """One exactly-once fold step (usable directly from any foreachBatch)."""
-    rec = read_pointer(table_dir)
-    if rec is not None and batch_id <= rec["batch_id"]:
+    """One exactly-once fold step (usable directly from any foreachBatch).
+
+    stream_id identifies the logical stream (e.g. its checkpoint path);
+    the replay skip fires only for (same stream, same-or-older batch) —
+    a new stream whose batch ids restart at 0 merges normally."""
+    try:
+        rec = read_pointer(table_dir)
+    except RuntimeError:
+        # Writer-side recovery: a crash between the FIRST commit's dir
+        # rename and its pointer write leaves exactly v0 and no pointer
+        # (v1+ can only exist after a pointer was written, so anything
+        # else really is corruption). The replaying writer redoes batch 0.
+        vs = _version_dirs(table_dir)
+        if [int(e[1:]) for e in vs] == [0]:
+            shutil.rmtree(os.path.join(table_dir, vs[0]), ignore_errors=True)
+            rec = None
+        else:
+            raise
+    if _should_skip(rec, stream_id, batch_id):
         return  # replayed micro-batch: merge already committed
     committed = (
         spark.read.parquet(os.path.join(table_dir, rec["version"]))
@@ -79,20 +143,37 @@ def commit_batch(
         else None
     )
     merged = merge_batch(committed, batch_df)
-    version = f"v{batch_id}"
-    merged.write.mode("overwrite").parquet(os.path.join(table_dir, version))
+    seq = _rec_seq(rec) + 1 if rec is not None else 0
+    version = f"v{seq}"
+    final = os.path.join(table_dir, version)
+    staging = os.path.join(table_dir, f"{_STAGING_PREFIX}{version}")
+    # stage the data write: a crash here leaves only uncommitted staging
+    merged.write.mode("overwrite").parquet(staging)
+    # a crashed PREVIOUS attempt of this same seq may have left the final
+    # dir (rename done, pointer not) — it was never committed, clear it
+    if os.path.exists(final):
+        shutil.rmtree(final, ignore_errors=True)
+    os.replace(staging, final)
     # commit = atomic pointer replace; readers never see a partial table
     tmp = os.path.join(table_dir, f"{_POINTER}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"version": version, "batch_id": batch_id}, f)
+        json.dump(
+            {
+                "version": version,
+                "seq": seq,
+                "batch_id": batch_id,
+                "stream_id": stream_id,
+            },
+            f,
+        )
     os.replace(tmp, os.path.join(table_dir, _POINTER))
-    # retire snapshots older than the recovery window
-    versions = sorted(
-        (e for e in os.listdir(table_dir) if e.startswith("v")),
-        key=lambda e: int(e[1:]),
-    )
+    # retire snapshots older than the recovery window + stale staging dirs
+    versions = _version_dirs(table_dir)
     for old in versions[:-_KEEP_VERSIONS]:
         shutil.rmtree(os.path.join(table_dir, old), ignore_errors=True)
+    for e in os.listdir(table_dir):
+        if e.startswith(_STAGING_PREFIX) and e != f"{_STAGING_PREFIX}{version}":
+            shutil.rmtree(os.path.join(table_dir, e), ignore_errors=True)
 
 
 def start_merge_stream(
@@ -105,11 +186,18 @@ def start_merge_stream(
     exactly-once merged table; returns the StreamingQuery.
 
     merge_batch(committed: DataFrame | None, batch_df) -> the new full
-    snapshot (committed is None on the first ever batch)."""
+    snapshot (committed is None on the first ever batch). The stream's
+    identity for the replay-skip key is its normalized checkpoint path —
+    restarting from the same checkpoint dedupes replays; a fresh
+    checkpoint is a new stream whose batches all merge."""
     spark = stream_df.sparkSession
+    stream_id = os.path.abspath(checkpoint_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        commit_batch(spark, table_dir, batch_id, merge_batch, batch_df)
+        commit_batch(
+            spark, table_dir, batch_id, merge_batch, batch_df,
+            stream_id=stream_id,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(fold)

@@ -26,6 +26,28 @@ def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
     return read_table(spark, table_dir)
 
 
+def _make_merge_batch(
+    bucket: str = "hour",
+    keys: tuple[str, ...] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+):
+    from ..operators.rollup import merge_rollup, time_rollup
+
+    def merge_batch(committed: DataFrame | None, batch_df: DataFrame):
+        if committed is None:
+            return time_rollup(batch_df, bucket, keys, ts, value)
+        return merge_rollup(committed, batch_df, bucket, keys, ts, value)
+
+    return merge_batch
+
+
+def _merge_batch(committed, batch_df):
+    """Default-parameter merge step (importable for direct commit_batch
+    use and tests)."""
+    return _make_merge_batch()(committed, batch_df)
+
+
 def start_rollup_stream(
     stream_df: DataFrame,
     table_dir: str,
@@ -37,11 +59,7 @@ def start_rollup_stream(
 ):
     """writeStream.foreachBatch handle maintaining `table_dir` as the
     continuous rollup; returns the StreamingQuery."""
-    from ..operators.rollup import merge_rollup, time_rollup
-
-    def merge_batch(committed: DataFrame | None, batch_df: DataFrame):
-        if committed is None:
-            return time_rollup(batch_df, bucket, keys, ts, value)
-        return merge_rollup(committed, batch_df, bucket, keys, ts, value)
-
-    return start_merge_stream(stream_df, table_dir, checkpoint_dir, merge_batch)
+    return start_merge_stream(
+        stream_df, table_dir, checkpoint_dir,
+        _make_merge_batch(bucket, keys, ts, value),
+    )

@@ -46,25 +46,32 @@ def sessionize_stream(
     )
 
     def assign(key, pdfs, state):
+        import numpy as np
+
         if state.exists:
             last_epoch, sess = state.get
         else:
             last_epoch, sess = None, 0
         rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
         rows = rows.sort_values([ts, event_id])
-        out = []
-        for t in rows[ts]:
-            e = int(pd.Timestamp(t).value // 1_000_000_000)
-            if last_epoch is None or e - last_epoch > gap_sec:
-                sess += 1
-            last_epoch = e
-            out.append(sess)
-        state.update((last_epoch, sess))
+        # vectorized gap/cumsum (no per-event Python): epoch seconds for
+        # the batch slice, shifted-by-one prev with the carried state (or
+        # a sentinel forcing a new session) seeding element 0
+        epochs = (
+            rows[ts].to_numpy().astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        seed = last_epoch if last_epoch is not None else epochs[0] - gap_sec - 1
+        prev = np.concatenate(([seed], epochs[:-1]))
+        session = sess + np.cumsum(epochs - prev > gap_sec)
+        state.update((int(epochs[-1]), int(session[-1])))
         yield pd.DataFrame(
             {
                 "user_id": key[0],
                 "event_id": rows[event_id].to_numpy(),
-                "session_id": out,
+                "session_id": session,
             }
         )
 

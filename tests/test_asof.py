@@ -97,6 +97,38 @@ def test_asof_salted_matches_unsalted_on_hot_key(spark):
     assert chunks > 1
 
 
+def test_asof_salted_keeps_null_keys(spark):
+    # NULL join keys: the unsalted window groups all-null keys into one
+    # partition (null events see null-key states); the salted path's
+    # stats equi-join is not null-safe and used to silently DROP them —
+    # salted output must stay identical to unsalted for both `how`s
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (None, 5, "n1"), (None, 20, "n2"), (2, 7, "b")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 1.0), (None, 8, 99.0), (2, 9, 2.0)],
+        "k long, ts long, sv double",
+    )
+    for how in ("inner", "left"):
+        base = sorted(
+            map(tuple, asof_join(left, right, on="k", how=how).collect()),
+            key=str,
+        )
+        salted = sorted(
+            map(
+                tuple,
+                asof_join(left, right, on="k", how=how, n_salt=4).collect(),
+            ),
+            key=str,
+        )
+        assert salted == base
+        # the null-key event after the null-key state must be enriched
+        if how == "left":
+            assert (None, 20, "n2", 99.0) in salted
+            assert (None, 5, "n1", None) in salted
+
+
 def test_asof_salted_tie_rule_preserved(spark):
     # equal timestamps land in one chunk; the backward-inclusive tie rule
     # must survive salting even when the tie sits at a chunk boundary

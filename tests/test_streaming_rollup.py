@@ -65,9 +65,44 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
 
 
 def test_streaming_rollup_replay_is_exactly_once(spark, tmp_path):
-    """A replayed micro-batch (same batch_id) must NOT double-merge: a
-    second stream over the same source with a FRESH checkpoint re-delivers
-    batch ids 0..n, and the committed table is unchanged."""
+    """The (stream_id, batch_id) idempotence key (the Delta (appId,
+    batchId) model): a replayed micro-batch from the SAME stream must NOT
+    double-merge, while a DIFFERENT stream whose batch ids restart at 0
+    (fresh checkpoint) carries new data and MUST merge — it is not a
+    replay, and is no longer silently discarded."""
+    from osm_search_spark.streaming.commit import commit_batch, read_table
+    from osm_search_spark.streaming.rollup_stream import _merge_batch
+
+    table = str(tmp_path / "rollup")
+    schema = "event_id long, ts string, event_type string, value double"
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [tuple(r.values()) for r in _rows(lo, hi)], schema
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    commit_batch(spark, table, 0, _merge_batch, batch(0, 40), stream_id="s1")
+    before = sorted(map(tuple, read_table(spark, table).collect()))
+    # same stream, same batch_id => replay, skipped
+    commit_batch(spark, table, 0, _merge_batch, batch(0, 40), stream_id="s1")
+    assert sorted(map(tuple, read_table(spark, table).collect())) == before
+    # different stream restarting at batch 0 => NEW data, merges
+    commit_batch(spark, table, 0, _merge_batch, batch(40, 90), stream_id="s2")
+    merged = sorted(map(tuple, read_table(spark, table).collect()))
+    assert merged != before
+    want = sorted(map(tuple, time_rollup(batch(0, 90)).collect()))
+    assert merged == want
+    # and the new stream's own replay of batch 0 is then skipped
+    commit_batch(spark, table, 0, _merge_batch, batch(40, 90), stream_id="s2")
+    assert sorted(map(tuple, read_table(spark, table).collect())) == merged
+
+
+def test_streaming_rollup_restart_same_checkpoint_no_double_merge(
+    spark, tmp_path
+):
+    """End-to-end: restarting a StreamingQuery from the SAME checkpoint
+    (same stream identity) over an unchanged source leaves the committed
+    table identical — no double merge."""
     src = tmp_path / "in"
     src.mkdir()
     (src / "b1.json").write_text("\n".join(json.dumps(r) for r in _rows(0, 40)))
@@ -87,14 +122,47 @@ def test_streaming_rollup_replay_is_exactly_once(spark, tmp_path):
     finally:
         q.stop()
     before = sorted(map(tuple, read_rollup(spark, table).collect()))
-    # fresh checkpoint => Spark replays batch 0 over the same committed table
-    q2 = start_rollup_stream(stream(), table, str(tmp_path / "ckpt2"))
+    q2 = start_rollup_stream(stream(), table, str(tmp_path / "ckpt1"))
     try:
         q2.processAllAvailable()
     finally:
         q2.stop()
     after = sorted(map(tuple, read_rollup(spark, table).collect()))
     assert after == before
+
+
+def test_streaming_rollup_first_commit_crash_recovers(spark, tmp_path):
+    """A crash between the FIRST commit's data-dir rename and its pointer
+    write leaves v0 with no pointer. The replaying writer recovers
+    (clears the orphan, redoes the merge); a LATER missing pointer (v1+
+    exists) is real corruption and still fails loud for writers too."""
+    from osm_search_spark.streaming.commit import commit_batch, read_table
+    from osm_search_spark.streaming.rollup_stream import _merge_batch
+
+    table = tmp_path / "rollup"
+    schema = "event_id long, ts string, event_type string, value double"
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [tuple(r.values()) for r in _rows(lo, hi)], schema
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    # simulate the batch-0 crash: data dir renamed into place, no pointer
+    commit_batch(spark, str(table), 0, _merge_batch, batch(0, 40), "s1")
+    (table / "CURRENT").unlink()
+    # readers still fail loud on the orphan
+    with pytest.raises(RuntimeError, match="no CURRENT pointer"):
+        read_table(spark, str(table))
+    # the replaying writer recovers and commits batch 0
+    commit_batch(spark, str(table), 0, _merge_batch, batch(0, 40), "s1")
+    got = sorted(map(tuple, read_table(spark, str(table)).collect()))
+    want = sorted(map(tuple, time_rollup(batch(0, 40)).collect()))
+    assert got == want
+    # advance to v1, then delete the pointer: NOT recoverable
+    commit_batch(spark, str(table), 1, _merge_batch, batch(40, 90), "s1")
+    (table / "CURRENT").unlink()
+    with pytest.raises(RuntimeError, match="no CURRENT pointer"):
+        commit_batch(spark, str(table), 1, _merge_batch, batch(40, 90), "s1")
 
 
 def test_streaming_rollup_missing_pointer_fails_loud(spark, tmp_path):

@@ -76,9 +76,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    attempted = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
@@ -100,7 +102,9 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"[ok] {name}: {len(spark_pdf)} rows match")
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} queries match")
+    print(f"\n{attempted - len(failed)}/{attempted} queries match"
+          + ("" if attempted == len(queries)
+             else f" (subset of {len(queries)} registered)"))
     return 1 if failed else 0
 
 
