@@ -489,6 +489,63 @@ def sql_winnow() -> str:
     return dedup.winnow_sql("documents")
 
 
+# Q12h: benchmark decontamination — the published 13-gram-collision
+# protocol: training docs sharing any token 13-gram with the benchmark dim
+# (here the doc_id % 10 == 0 slice stands in for an evaluation set; the
+# testdata's planted near-dups provide real cross-slice collisions). The
+# Spark path Bloom-prunes the corpus gram stream scan-side before the
+# join (answer-invariant — FPs die in the join); the twin derives the
+# collision table independently and mirrors the boilerplate cap.
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.decontaminate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate(corpus, bench, n=13)
+
+
+def sql_decontaminate() -> str:
+    from osm_search_spark.operators.decontaminate import decontaminate_sql
+
+    return decontaminate_sql(
+        "(select doc_id, text from documents where doc_id % 10 <> 0)",
+        "(select doc_id as bench_id, text from documents where doc_id % 10 = 0)",
+        n=13,
+    )
+
+
+# Q12i: winnowing-variant decontamination — fingerprint collisions between
+# corpus and benchmark (shared token run >= w + k - 1 guarantees a hit at
+# ~1/w the gram volume); twin composes the winnowing twin on both slices.
+def q_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.decontaminate import decontaminate_winnow
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate_winnow(corpus, bench)
+
+
+def sql_decontaminate_winnow() -> str:
+    corpus_fp = dedup.winnow_sql(
+        "(select doc_id, text from documents where doc_id % 10 <> 0)"
+    )
+    bench_fp = dedup.winnow_sql(
+        "(select doc_id, text from documents where doc_id % 10 = 0)"
+    )
+    return f"""
+select d.doc_id, b.bench_id, count(*) as n_shared_fps
+from ({corpus_fp}) d
+join (select doc_id as bench_id, fp from ({bench_fp})) b using (fp)
+group by 1, 2
+"""
+
+
 # Q12e: deterministic train/val/test split (salted-md5 buckets — the only
 # split kind that survives corpus growth/reprocessing; operators/curation.py)
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1861,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail should hold the oldest, most-stable queries — the ones with the
     # longest green history — never the entries added this round.
     return {
+        "decontaminate": q_decontaminate,
+        "decontaminate_winnow": q_decontaminate_winnow,
         "range_band_join": q_range_join,
         "hourly_rollup": q_hourly_rollup,
         "coverage_zonal": q_coverage_zonal,
@@ -1921,6 +1980,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return {
+        "decontaminate": sql_decontaminate(),
+        "decontaminate_winnow": sql_decontaminate_winnow(),
         "range_band_join": sql_range_join(),
         "hourly_rollup": sql_hourly_rollup(),
         "coverage_zonal": sql_coverage_zonal(),

@@ -93,7 +93,13 @@ def might_contain(
     """Pure-Column membership test against the dense word list — codegen
     arithmetic over a literal array, NO join and NO shuffle: the filter a
     big-side scan applies before ever moving a row. False negatives are
-    impossible; positives are probabilistic (verify with the real join)."""
+    impossible; positives are probabilistic (verify with the real join).
+
+    Plan-size ceiling: the word list is embedded as m/30 literals — fine
+    at the default m=2^16 (~2.2k literals, ~17 kB) but NOT at the
+    m=10^8-10^9 a 10^7-key small side needs. Past _ARROW_WORD_THRESHOLD
+    words use `bloom_prune` (engine="arrow"), which broadcasts the word
+    array instead of embedding it."""
     arr = F.array(*[F.lit(int(w)) for w in words])
     checks = []
     for i in range(k):
@@ -104,6 +110,70 @@ def might_contain(
         )
         checks.append(word.bitwiseAND(bit) != 0)
     return reduce(lambda a, b: a & b, checks)
+
+
+# Above this word count the literal path would embed that many F.lit()s in
+# the plan — the same expression-size ceiling the IVF coarse quantizer hit
+# (similarity._ARROW_CENTROID_THRESHOLD pattern); 8192 words = m ≈ 2^18
+# bits ≈ 64 kB of plan, a safe upper bound for codegen. Past it the word
+# array ships ONCE as a broadcast numpy array into mapInPandas: plan size
+# is constant in m, per-batch work is vectorized index/shift arithmetic,
+# and m=2^24..2^30 (the 100 TB join-pruning sizes) costs only m/8 bytes of
+# broadcast per executor.
+_ARROW_WORD_THRESHOLD = 8192
+
+
+def _prune_engine(engine: str, n_words: int) -> str:
+    if engine == "auto":
+        return "column" if n_words <= _ARROW_WORD_THRESHOLD else "arrow"
+    if engine not in ("column", "arrow"):
+        raise ValueError(f"unknown bloom engine {engine!r}")
+    return engine
+
+
+def bloom_prune(
+    df: DataFrame,
+    words: list[int],
+    col,
+    m_bits: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    engine: str = "auto",
+) -> DataFrame:
+    """Rows of `df` whose `col` MIGHT be in the filter (no false
+    negatives) — the big-side pre-join prune, scan-side and shuffle-free.
+
+    engine="column": the literal-array might_contain filter (small m).
+    engine="arrow": the k hash positions are still computed JVM-side
+    (codegen md5 — no hashing in Python), then a broadcast numpy word
+    array answers membership per Arrow batch; constant plan size in m.
+    "auto" picks by word count (_ARROW_WORD_THRESHOLD). Both engines are
+    bit-identical (same positions, same words; parity-tested)."""
+    if _prune_engine(engine, len(words)) == "column":
+        return df.filter(might_contain(words, col, m_bits, k))
+
+    import numpy as np
+
+    POS = "_bloom_pos"
+    while POS in df.columns:
+        POS = "_" + POS
+    W = np.asarray(list(words), dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast(W)
+    with_pos = df.withColumn(
+        POS, F.array(*[_pos(col, i, m_bits) for i in range(k)])
+    )
+    out_cols = df.columns
+
+    def prune(batches):
+        wv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[out_cols]
+                continue
+            P = np.stack(pdf[POS].to_numpy()).astype(np.int64)
+            hit = ((wv[P // WORD_BITS] >> (P % WORD_BITS)) & 1).all(axis=1)
+            yield pdf.loc[hit, out_cols]
+
+    return with_pos.mapInPandas(prune, schema=df.schema)
 
 
 def bloom_sql(rel: str, col: str, m_bits: int = DEFAULT_M, k: int = DEFAULT_K) -> str:

@@ -53,11 +53,16 @@ def ngrams(tokens: Column | str, n: int, sep: str = " ") -> Column:
     pkg/searcher/ngram_lm.go:112-210.
     """
     toks = _col(tokens)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(sep, F.slice(toks, i, n)),
-    )
+    count = F.size(toks) - (n - 1)
+    # sequence(1, 0) yields the DESCENDING [1, 0] (and slice rejects the
+    # 0), so the fewer-than-n-tokens case must short-circuit to empty
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(sep, F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngrams_sql(tokens_sql: str, n: int, sep: str = " ") -> str:
@@ -69,10 +74,18 @@ def ngrams_sql(tokens_sql: str, n: int, sep: str = " ") -> str:
 
 
 def char_shingles(text: Column | str, k: int) -> Column:
-    """Array of k-character shingles of a string (for MinHash/Jaccard)."""
+    """Array of k-character shingles of a string (for MinHash/Jaccard).
+    Empty below k chars (sequence(1, 0) is the DESCENDING [1, 0] in Spark
+    while the DuckDB twin's generate_series(1, 0) is empty — the
+    short-string case must short-circuit to match)."""
     t = _col(text)
-    count = F.greatest(F.length(t) - (k - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(t, i, k))
+    count = F.length(t) - (k - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count), lambda i: F.substring(t, i, k)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # --- quality / language heuristics ----------------------------------------

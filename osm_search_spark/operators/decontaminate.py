@@ -1,0 +1,247 @@
+"""Benchmark decontamination — flag training documents that share long
+token n-grams with an evaluation/benchmark set (the published
+13-gram-collision protocol used for GPT-3/PaLM-style corpus builds), plus
+a winnowing-fingerprint variant for partial-overlap sweeps.
+
+The shape at 100 TB: the benchmark side is a BOUNDED dim (evaluation
+suites are 10^4-10^6 documents → 10^5-10^8 distinct grams), the corpus
+side is the 100 TB stream. So the plan is:
+
+1. gram both sides (tokenize → n-grams → distinct per doc → 60-bit
+   md5-prefix hash, so the shuffle/broadcast carries 8-byte keys instead
+   of 13-token strings);
+2. cap boilerplate grams on the BENCHMARK side (a license header shared
+   by every benchmark doc matches half the web and carries no
+   contamination signal; the cap resolves as one bounded literal job with
+   a broadcast anti-join fallback — the dedup.ngram_jaccard_pairs
+   pattern);
+3. prune the corpus gram stream BEFORE the join: a Bloom filter over the
+   benchmark's gram hashes (functions/bloom.py — auto-switches to the
+   broadcast-arrow engine past the literal plan-size ceiling, so m can be
+   2^24+ for 10^7-gram benchmarks) drops ~all non-colliding corpus grams
+   scan-side with no shuffle and no false negatives; the surviving
+   trickle then equi-joins (broadcastable benchmark side) — false
+   positives die in the join, so pruning never changes the answer;
+4. one groupBy (doc_id, bench_id) count = distinct shared grams.
+
+The corpus side is touched once, map-side, and only collision survivors
+shuffle. Nothing here is quadratic in the corpus.
+
+Verification: the DuckDB gate twin derives the collision table completely
+independently (same tokenizer/ngram/hash text); the planted-contamination
+pytest checks a copied 13-token run is flagged and clean docs are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams, tokenize_simple
+
+# Benchmark-side boilerplate cap: grams present in more than this many
+# benchmark docs are dropped (both sides of the gate mirror it). Collision
+# counting is per (doc, bench) pair, so a gram kept at frequency f fans a
+# single corpus gram row out to ≤ f pairs — the cap bounds that fan-out.
+DEFAULT_MAX_GRAM_BENCH_DOCS = 1000
+_HEAVY_GRAM_LITERALS = 1000
+
+DEFAULT_N = 13  # the published n-gram-collision protocol length
+
+
+def _gram_hash(c):
+    """Engine-portable 60-bit gram hash (md5-prefix — the winnowing /
+    simhash_portable recipe), so the DuckDB twin recomputes it exactly."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(out_id, gh): the distinct n-gram hashes of each document."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array_distinct(ngrams(tokenize_simple(F.col(text_col)), n))
+        ).alias("_g"),
+    ).select(out_id, _gram_hash(F.col("_g")).alias("gh"))
+
+
+def _drop_heavy(grams: DataFrame, per_doc: DataFrame, cap: int) -> DataFrame:
+    """Drop grams whose BENCHMARK-doc frequency exceeds cap from `grams`.
+    The over-cap list is tiny by construction: one bounded literal job,
+    broadcast anti-join past the literal budget (dedup.py pattern)."""
+    bad = (
+        per_doc.groupBy("gh").count().filter(F.col("count") > cap).select("gh")
+    )
+    heavy = [r["gh"] for r in bad.limit(_HEAVY_GRAM_LITERALS + 1).collect()]
+    if len(heavy) > _HEAVY_GRAM_LITERALS:
+        return grams.join(F.broadcast(bad), "gh", "left_anti")
+    if heavy:
+        return grams.filter(~F.col("gh").isin(heavy))
+    return grams
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_N,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    max_gram_bench_docs: int | None = DEFAULT_MAX_GRAM_BENCH_DOCS,
+    prune: str | None = "bloom",
+    bloom_m: int | None = None,
+) -> DataFrame:
+    """(doc_id, bench_id, n_collisions): for every corpus doc sharing at
+    least one token n-gram with a benchmark doc, the number of DISTINCT
+    shared n-grams. Any row here = contamination under the published
+    n-gram-collision protocol; downstream either drops the doc or excises
+    the overlapping span.
+
+    prune: "bloom" (default) pre-filters the corpus gram stream against a
+    Bloom filter of the benchmark's grams (scan-side, no shuffle, exact —
+    FPs die in the join); "semi" uses an exact left-semi join instead
+    (equivalent output, pays the join for every corpus gram); None goes
+    straight to the join. bloom_m: filter size in bits; default sizes to
+    ~20 bits/gram (FP ≈ 1-2% at k=4), floor 2^13 — past the literal
+    ceiling the arrow engine engages automatically (bloom.bloom_prune).
+
+    max_gram_bench_docs: benchmark-side boilerplate cap (see module doc);
+    None disables (textbook protocol)."""
+    dgrams = _gram_hashes(docs, doc_id, text, n, "doc_id")
+    bgrams = _gram_hashes(benchmark, bench_id, bench_text, n, "bench_id")
+    if max_gram_bench_docs is not None:
+        bgrams = _drop_heavy(bgrams, bgrams, max_gram_bench_docs)
+        # bgrams is consumed by up to three subtrees (bloom build, join,
+        # and the cap's own count) — pin the post-cap frame once
+        bgrams = bgrams.localCheckpoint(eager=True)
+    if prune == "bloom":
+        from ..functions import bloom
+
+        n_grams = bgrams.count()  # bounded dim: one tiny job
+        if bloom_m is None:
+            bloom_m = max(1 << 13, 1 << max(0, (20 * max(n_grams, 1) - 1)).bit_length())
+        words = bloom.bloom_words(
+            bloom.bloom_build(bgrams, "gh", m_bits=bloom_m), bloom_m
+        )
+        dgrams = bloom.bloom_prune(dgrams, words, "gh", m_bits=bloom_m)
+    elif prune == "semi":
+        dgrams = dgrams.join(bgrams.select("gh").distinct(), "gh", "leftsemi")
+    elif prune is not None:
+        raise ValueError(f"unknown prune mode {prune!r}")
+    return (
+        dgrams.join(bgrams, "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_collisions"))
+    )
+
+
+def decontaminate_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_N,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    **kw,
+) -> DataFrame:
+    """Doc-level verdicts: every corpus doc with (contaminated boolean,
+    n_bench_matches = benchmark docs it collides with) — the frame a
+    corpus build filters on (`filter(~contaminated)`)."""
+    pairs = decontaminate(
+        docs, benchmark, n, doc_id, text, bench_id, bench_text, **kw
+    )
+    hits = pairs.groupBy("doc_id").agg(
+        F.count("*").alias("n_bench_matches")
+    )
+    return (
+        docs.select(F.col(doc_id).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_bench_matches").isNotNull().alias("contaminated"),
+            F.coalesce("n_bench_matches", F.lit(0)).alias("n_bench_matches"),
+        )
+    )
+
+
+def decontaminate_winnow(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared_fps) via winnowing fingerprints
+    (dedup.winnow_fingerprints): any shared token run of ≥ w + k - 1
+    tokens GUARANTEES a shared fingerprint, at ~1/w the gram volume of
+    the exact protocol — the cheap first sweep for very long documents
+    where materializing every 13-gram is the dominant cost. Sketch-level
+    collisions can also arise from shorter shared runs, so treat a hit as
+    a candidate and confirm with `decontaminate` on the flagged pairs."""
+    from .dedup import winnow_fingerprints
+
+    dfp = winnow_fingerprints(docs, k=k, w=w, text_col=text, id_col=doc_id)
+    bfp = winnow_fingerprints(
+        benchmark, k=k, w=w, text_col=bench_text, id_col=bench_id
+    )
+    return (
+        dfp.select(F.col(doc_id).alias("doc_id"), "fp")
+        .join(bfp.select(F.col(bench_id).alias("bench_id"), "fp"), "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_fps"))
+    )
+
+
+def decontaminate_sql(
+    docs_rel: str,
+    bench_rel: str,
+    n: int = DEFAULT_N,
+    max_gram_bench_docs: int | None = DEFAULT_MAX_GRAM_BENCH_DOCS,
+) -> str:
+    """DuckDB twin of `decontaminate` (prune is answer-invariant, so the
+    twin goes straight to the join; the boilerplate cap IS mirrored).
+    Relations need (doc_id, text) / (bench_id, text)."""
+    from ..functions.text import tokenize_simple_sql
+
+    cap = (
+        f"""
+bcap as (
+  select gh from bg group by gh having count(*) <= {max_gram_bench_docs}
+),
+bgc as (select bg.bench_id, bg.gh from bg join bcap using (gh))"""
+        if max_gram_bench_docs is not None
+        else "bgc as (select * from bg)"
+    )
+    return f"""
+with dt as (select doc_id, {tokenize_simple_sql('text')} as tk from {docs_rel}),
+bt as (select bench_id, {tokenize_simple_sql('text')} as tk from {bench_rel}),
+dg as (
+  select distinct doc_id,
+    ('0x' || substr(md5(gram), 1, 15))::bigint as gh
+  from (
+    select doc_id,
+      unnest([array_to_string(tk[i:i+{n - 1}], ' ')
+              for i in generate_series(1, len(tk) - {n} + 1)]) as gram
+    from dt)
+),
+bg as (
+  select distinct bench_id,
+    ('0x' || substr(md5(gram), 1, 15))::bigint as gh
+  from (
+    select bench_id,
+      unnest([array_to_string(tk[i:i+{n - 1}], ' ')
+              for i in generate_series(1, len(tk) - {n} + 1)]) as gram
+    from bt)
+),
+{cap}
+select dg.doc_id, bgc.bench_id, count(*) as n_collisions
+from dg join bgc using (gh)
+group by 1, 2
+"""

@@ -48,3 +48,44 @@ def test_bloom_join_pruning_preserves_join(spark):
     pruned = sorted(map(tuple, pruned_side.join(small, "v").collect()))
     assert pruned == full and len(full) == 100
     assert pruned_n < 500  # ~100 matches + a handful of false positives
+
+
+def test_bloom_prune_engine_parity(spark):
+    # the arrow engine (broadcast word array) must keep EXACTLY the rows
+    # the literal Column engine keeps — same hashes, same words
+    members = _vals(spark, 0, 1000)
+    words = bloom.bloom_words(bloom.bloom_build(members, "v"))
+    probe = _vals(spark, 0, 5000, tag="x").unionAll(_vals(spark, 0, 300))
+    col_rows = sorted(
+        r["v"]
+        for r in bloom.bloom_prune(
+            probe, words, "v", engine="column"
+        ).collect()
+    )
+    arrow_rows = sorted(
+        r["v"]
+        for r in bloom.bloom_prune(
+            probe, words, "v", engine="arrow"
+        ).collect()
+    )
+    assert col_rows == arrow_rows and len(col_rows) >= 300
+
+
+def test_bloom_prune_auto_picks_arrow_past_threshold(spark):
+    assert bloom._prune_engine("auto", bloom._ARROW_WORD_THRESHOLD) == "column"
+    assert (
+        bloom._prune_engine("auto", bloom._ARROW_WORD_THRESHOLD + 1) == "arrow"
+    )
+
+
+def test_bloom_prune_large_m_arrow(spark):
+    # m = 2^24 (559k words): impossible as plan literals, fine broadcast.
+    # No false negatives; FP rate should be tiny at n=2000, m=2^24, k=4.
+    m = 1 << 24
+    members = _vals(spark, 0, 2000)
+    words = bloom.bloom_words(bloom.bloom_build(members, "v", m_bits=m), m)
+    kept = bloom.bloom_prune(members, words, "v", m_bits=m).count()
+    assert kept == 2000
+    others = _vals(spark, 0, 20_000, tag="x")
+    fp = bloom.bloom_prune(others, words, "v", m_bits=m).count()
+    assert fp <= 2, fp
