@@ -1206,6 +1206,67 @@ from scored where on_edge or wn <> 0
 """
 
 
+# Q26b: multipolygon-with-holes PIP join — donut fixtures (outer rings +
+# `inner` hole rings, which the reference drops at parse_osm.go:348-368).
+# A point strictly inside a hole must NOT match; on a hole boundary it
+# must. The twin derives outer winding + per-hole strict-interior
+# exclusion independently (holes unnested per ring; two unnests in one
+# select ZIP, which is exactly the pairing wanted here).
+def q_donut_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = synth.derive_points(spark, sf_dir)
+    polys = synth.donut_polygons_df(spark)
+    joined = spatial_join(points, polys, res=C.JOIN_RES)
+    return joined.select(
+        "point_id", F.col("polygon_id").cast("long").alias("polygon_id")
+    )
+
+
+def sql_donut_pip() -> str:
+    def wn_terms(rl, rn):
+        cross = f"((({rn})[i+1]-({rn})[i])*(plat-({rl})[i]) - (plon-({rn})[i])*(({rl})[i+1]-({rl})[i]))"
+        return (
+            f"list_sum([case when ({rl})[i] <= plat and ({rl})[i+1] > plat and {cross} > 0 then 1 "
+            f"when ({rl})[i] > plat and ({rl})[i+1] <= plat and {cross} < 0 then -1 "
+            f"else 0 end for i in generate_series(1, len({rl}) - 1)])"
+        )
+
+    def edge_terms(rl, rn):
+        return (
+            f"len(list_filter(generate_series(1, len({rl}) - 1), i -> "
+            f"plon >= least(({rn})[i], ({rn})[i+1]) and plon <= greatest(({rn})[i], ({rn})[i+1]) "
+            f"and plat >= least(({rl})[i], ({rl})[i+1]) and plat <= greatest(({rl})[i], ({rl})[i+1]))) > 0"
+        )
+
+    return f"""
+with points as ({synth.points_sql()}),
+polys as ({synth.donut_polygons_sql()}),
+pairs as (
+  select p.point_id, dp.polygon_id, p.lat as plat, p.lon as plon,
+         dp.ring_lat as rl, dp.ring_lon as rn
+  from points p join polys dp
+    on p.lat >= list_min(dp.ring_lat) and p.lat <= list_max(dp.ring_lat)
+   and p.lon >= list_min(dp.ring_lon) and p.lon <= list_max(dp.ring_lon)
+),
+outer_in as (
+  select point_id, polygon_id, plat, plon from pairs
+  where {edge_terms('rl', 'rn')} or {wn_terms('rl', 'rn')} <> 0
+),
+hole_rows as (
+  select polygon_id, unnest(holes_lat) as hrl, unnest(holes_lon) as hrn
+  from polys
+),
+hole_strict as (
+  select o.point_id, o.polygon_id
+  from outer_in o join hole_rows h using (polygon_id)
+  where {wn_terms('h.hrl', 'h.hrn')} <> 0
+    and not {edge_terms('h.hrl', 'h.hrn')}
+)
+select point_id, cast(polygon_id as bigint) as polygon_id from outer_in
+except
+select point_id, cast(polygon_id as bigint) as polygon_id from hole_strict
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -1918,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail should hold the oldest, most-stable queries — the ones with the
     # longest green history — never the entries added this round.
     return {
+        "donut_pip_join": q_donut_pip,
         "decontaminate": q_decontaminate,
         "decontaminate_winnow": q_decontaminate_winnow,
         "range_band_join": q_range_join,
@@ -1980,6 +2042,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return {
+        "donut_pip_join": sql_donut_pip(),
         "decontaminate": sql_decontaminate(),
         "decontaminate_winnow": sql_decontaminate_winnow(),
         "range_band_join": sql_range_join(),

@@ -49,6 +49,22 @@ def winding_number(
     boundary="exact" uses true collinearity (cross==0 within the bbox) —
     the mathematically-correct boundary=inside variant.
     """
+    wn, on_edge = wn_and_edge(plat, plon, ring_lat, ring_lon, boundary)
+    wn[on_edge] = 1
+    return wn
+
+
+def wn_and_edge(
+    plat: np.ndarray,
+    plon: np.ndarray,
+    ring_lat: np.ndarray,
+    ring_lon: np.ndarray,
+    boundary: str = "bbox",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(raw winding number, on-boundary mask) for many points vs one closed
+    ring — the raw parts `winding_number` combines. Exposed separately so
+    hole tests can distinguish STRICTLY-inside (wn != 0 and not on edge)
+    from boundary contact."""
     plat = np.asarray(plat, dtype=np.float64)
     plon = np.asarray(plon, dtype=np.float64)
     wn = np.zeros(plat.shape[0], dtype=np.int64)
@@ -71,8 +87,7 @@ def winding_number(
         up = (alat <= plat) & (blat > plat) & (cross > 0)
         dn = (alat > plat) & (blat <= plat) & (cross < 0)
         wn += up.astype(np.int64) - dn.astype(np.int64)
-    wn[on_edge] = 1
-    return wn
+    return wn, on_edge
 
 
 def points_in_polygon(
@@ -82,6 +97,31 @@ def points_in_polygon(
     geometry.go:120-122)."""
     ring_lat, ring_lon = close_ring(np.asarray(ring_lat), np.asarray(ring_lon))
     return winding_number(plat, plon, ring_lat, ring_lon, boundary) != 0
+
+
+def points_in_polygon_with_holes(
+    plat: np.ndarray,
+    plon: np.ndarray,
+    ring_lat,
+    ring_lon,
+    holes: "list[tuple[np.ndarray, np.ndarray]] | None" = None,
+    boundary: str = "bbox",
+) -> np.ndarray:
+    """Boolean mask: inside the outer ring and NOT strictly inside any hole
+    (multipolygon `inner` rings). Boundary semantics are consistent on both
+    kinds of ring: a point ON the outer boundary is inside (the reference's
+    rule), and a point ON a hole boundary is also inside — the hole only
+    removes its strict interior. Orientation-INDEPENDENT: holes are tested
+    by their own winding number, so no CW/CCW convention is required of the
+    input (the signed-ring emitters like raster.vectorize still orient
+    CCW/CW, but un-normalized OSM `inner` members work unchanged)."""
+    ring_lat, ring_lon = close_ring(np.asarray(ring_lat), np.asarray(ring_lon))
+    inside = winding_number(plat, plon, ring_lat, ring_lon, boundary) != 0
+    for hlat, hlon in holes or ():
+        hlat, hlon = close_ring(np.asarray(hlat), np.asarray(hlon))
+        h_wn, h_edge = wn_and_edge(plat, plon, hlat, hlon, boundary)
+        inside &= ~((h_wn != 0) & ~h_edge)
+    return inside
 
 
 def reference_pip_scalar(plat: float, plon: float, ring_lat, ring_lon) -> bool:

@@ -79,8 +79,22 @@ def _any_segments_intersect(rlA, rnA, rlB, rnB) -> bool:
     return bool(hit.any())
 
 
-def rings_intersect(ring_lat_a, ring_lon_a, ring_lat_b, ring_lon_b) -> bool:
-    """Exact closed-set intersection of two simple polygons."""
+def rings_intersect(
+    ring_lat_a, ring_lon_a, ring_lat_b, ring_lon_b,
+    holes_a=(), holes_b=(),
+) -> bool:
+    """Exact closed-set intersection of two polygons, holes included.
+
+    A polygon is its outer ring's closed set MINUS the strict interior of
+    each hole (hole boundaries belong to the polygon). Decision rule: the
+    two intersect iff any vertex of any A ring (outer or hole — all are
+    points of A) lies in B (hole-aware, boundary counts), or vice versa,
+    or any boundary segments of any ring pair intersect. If closed sets
+    meet with no boundary crossing at all, one's boundary ring sits inside
+    the other's point set and its vertices test positive — so the three
+    checks are complete. A polygon entirely inside the other's HOLE
+    correctly reports no intersection (its vertices are strictly in the
+    hole; no segments cross)."""
     rlA, rnA = G.close_ring(np.asarray(ring_lat_a), np.asarray(ring_lon_a))
     rlB, rnB = G.close_ring(np.asarray(ring_lat_b), np.asarray(ring_lon_b))
     # bbox reject (cheap; candidates are cover-adjacent already)
@@ -89,11 +103,29 @@ def rings_intersect(ring_lat_a, ring_lon_a, ring_lat_b, ring_lon_b) -> bool:
         or rnA.max() < rnB.min() or rnB.max() < rnA.min()
     ):
         return False
-    if G.points_in_polygon(rlA[:-1], rnA[:-1], rlB, rnB, boundary="exact").any():
-        return True
-    if G.points_in_polygon(rlB[:-1], rnB[:-1], rlA, rnA, boundary="exact").any():
-        return True
-    return _any_segments_intersect(rlA, rnA, rlB, rnB)
+    hA = [
+        G.close_ring(np.asarray(a), np.asarray(b)) for a, b in holes_a
+    ]
+    hB = [
+        G.close_ring(np.asarray(a), np.asarray(b)) for a, b in holes_b
+    ]
+    rings_a = [(rlA, rnA)] + hA
+    rings_b = [(rlB, rnB)] + hB
+    for rl, rn in rings_a:
+        if G.points_in_polygon_with_holes(
+            rl[:-1], rn[:-1], rlB, rnB, hB, boundary="exact"
+        ).any():
+            return True
+    for rl, rn in rings_b:
+        if G.points_in_polygon_with_holes(
+            rl[:-1], rn[:-1], rlA, rnA, hA, boundary="exact"
+        ).any():
+            return True
+    return any(
+        _any_segments_intersect(ra[0], ra[1], rb[0], rb[1])
+        for ra in rings_a
+        for rb in rings_b
+    )
 
 
 def polygon_overlap_join(
@@ -151,31 +183,49 @@ def polygon_overlap_join(
     return sure.unionByName(checked)
 
 
+def _hole_pairs(hl, hn):
+    """zip an optional holes_lat/holes_lon pair into [(lat, lon), ...]."""
+    if hl is None or hn is None:
+        return ()
+    return list(zip(hl, hn))
+
+
+def _ring_select(layer: DataFrame, key: str, suffix: str):
+    cols = [
+        F.col("polygon_id").alias(key),
+        F.col("ring_lat").alias(f"rl{suffix}"),
+        F.col("ring_lon").alias(f"rn{suffix}"),
+    ]
+    if "holes_lat" in layer.columns:
+        cols += [
+            F.col("holes_lat").alias(f"hl{suffix}"),
+            F.col("holes_lon").alias(f"hn{suffix}"),
+        ]
+    else:
+        cols += [
+            F.lit(None).cast("array<array<double>>").alias(f"hl{suffix}"),
+            F.lit(None).cast("array<array<double>>").alias(f"hn{suffix}"),
+        ]
+    return layer.select(*cols)
+
+
 def _refine_joined(
     undecided: DataFrame, layer_a: DataFrame, layer_b: DataFrame
 ) -> DataFrame:
     cand = undecided.join(
-        layer_a.select(
-            F.col("polygon_id").alias("polygon_id_a"),
-            F.col("ring_lat").alias("rla"),
-            F.col("ring_lon").alias("rna"),
-        ),
-        "polygon_id_a",
-    ).join(
-        layer_b.select(
-            F.col("polygon_id").alias("polygon_id_b"),
-            F.col("ring_lat").alias("rlb"),
-            F.col("ring_lon").alias("rnb"),
-        ),
-        "polygon_id_b",
-    )
+        _ring_select(layer_a, "polygon_id_a", "a"), "polygon_id_a"
+    ).join(_ring_select(layer_b, "polygon_id_b", "b"), "polygon_id_b")
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keep = [
-                rings_intersect(rla, rna, rlb, rnb)
-                for rla, rna, rlb, rnb in zip(
-                    pdf["rla"], pdf["rna"], pdf["rlb"], pdf["rnb"]
+                rings_intersect(
+                    rla, rna, rlb, rnb,
+                    _hole_pairs(hla, hna), _hole_pairs(hlb, hnb),
+                )
+                for rla, rna, hla, hna, rlb, rnb, hlb, hnb in zip(
+                    pdf["rla"], pdf["rna"], pdf["hla"], pdf["hna"],
+                    pdf["rlb"], pdf["rnb"], pdf["hlb"], pdf["hnb"],
                 )
             ]
             yield pdf.loc[keep, ["polygon_id_a", "polygon_id_b"]]
@@ -194,14 +244,39 @@ def _refine_grouped(
     heavy_layer = layer_a if heavy == "a" else layer_b
     light_key = "polygon_id_b" if heavy == "a" else "polygon_id_a"
     heavy_key = "polygon_id_a" if heavy == "a" else "polygon_id_b"
-    cand = undecided.join(
-        light_layer.select(
-            F.col("polygon_id").alias(light_key),
-            F.col("ring_lat").alias("rl_light"),
-            F.col("ring_lon").alias("rn_light"),
-        ),
-        light_key,
-    )
+    # holes cross the cogroup boundary as JSON strings: pyarrow's cogroup
+    # serializer segfaults on array<array<double>> columns (nested lists
+    # through applyInPandas.cogroup), while plain strings are safe; the
+    # mapInPandas path in _refine_joined keeps the native nested arrays
+    def holes_json(layer):
+        if "holes_lat" in layer.columns:
+            return F.to_json(
+                F.struct(
+                    F.col("holes_lat").alias("hl"),
+                    F.col("holes_lon").alias("hn"),
+                )
+            )
+        return F.lit(None).cast("string")
+
+    light_sel = [
+        F.col("polygon_id").alias(light_key),
+        F.col("ring_lat").alias("rl_light"),
+        F.col("ring_lon").alias("rn_light"),
+        holes_json(light_layer).alias("holes_light_json"),
+    ]
+    cand = undecided.join(light_layer.select(*light_sel), light_key)
+    heavy_grouped = heavy_layer.select(
+        "polygon_id", "ring_lat", "ring_lon",
+        holes_json(heavy_layer).alias("holes_json"),
+    ).groupBy("polygon_id")
+
+    def parse_holes(js):
+        import json as _json
+
+        if js is None or (isinstance(js, float) and pd.isna(js)):
+            return ()
+        d = _json.loads(js)
+        return _hole_pairs(d.get("hl"), d.get("hn"))
 
     def refine_group(key, pairs_pdf: pd.DataFrame, heavy_pdf: pd.DataFrame):
         if pairs_pdf.empty or heavy_pdf.empty:
@@ -210,14 +285,18 @@ def _refine_grouped(
             ).astype("int64")
         hl = heavy_pdf["ring_lat"].iloc[0]
         hn = heavy_pdf["ring_lon"].iloc[0]
+        h_holes = parse_holes(heavy_pdf["holes_json"].iloc[0])
         keep = [
-            rings_intersect(hl, hn, rl, rn)
-            for rl, rn in zip(pairs_pdf["rl_light"], pairs_pdf["rn_light"])
+            rings_intersect(hl, hn, rl, rn, h_holes, parse_holes(js))
+            for rl, rn, js in zip(
+                pairs_pdf["rl_light"], pairs_pdf["rn_light"],
+                pairs_pdf["holes_light_json"],
+            )
         ]
         return pairs_pdf.loc[keep, ["polygon_id_a", "polygon_id_b"]]
 
     return (
         cand.groupBy(heavy_key)
-        .cogroup(heavy_layer.groupBy("polygon_id"))
+        .cogroup(heavy_grouped)
         .applyInPandas(refine_group, "polygon_id_a long, polygon_id_b long")
     )

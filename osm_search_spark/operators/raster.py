@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cells as C
 from ..functions import geometry as G
+from . import spatial_join as SJ
 from .spatial_join import (
     AUTO_GROUPED_DIM_THRESHOLD,
     classified_cover,
@@ -75,17 +76,17 @@ def pixel_size_deg(res: int, px: int) -> float:
     return C.cell_size_deg(res + _check_px(px))
 
 
-def _tile_mask(rl, rn, cell: int, px: int, size_p: float):
-    """Lattice mask of one tile vs one closed ring: (n_set, packed bytes).
-    Pixel centers use the GLOBAL lattice formula mirrored in the DuckDB
-    oracle twin (sql_rasterize_pixels)."""
+def _tile_mask(rl, rn, cell: int, px: int, size_p: float, holes=()):
+    """Lattice mask of one tile vs one closed ring (minus any holes):
+    (n_set, packed bytes). Pixel centers use the GLOBAL lattice formula
+    mirrored in the DuckDB oracle twin (sql_rasterize_pixels)."""
     ix, iy = C.np_cell_ixy(int(cell))
     ii = np.arange(px, dtype=np.int64)
     lon_c = ((ix * px + ii) + 0.5) * size_p - 180.0
     lat_c = ((iy * px + ii) + 0.5) * size_p - 90.0
     gy, gx = np.meshgrid(lat_c, lon_c, indexing="ij")
-    inside = (
-        G.winding_number(gy.ravel(), gx.ravel(), rl, rn) != 0
+    inside = G.points_in_polygon_with_holes(
+        gy.ravel(), gx.ravel(), rl, rn, list(holes)
     ).reshape(px, px)
     return int(inside.sum()), np.packbits(inside).tobytes()
 
@@ -144,10 +145,14 @@ def rasterize_polygons(
         F.lit(full_mask).alias("mask"),
     )
 
-    ring_rows = polygons.select("polygon_id", "ring_lat", "ring_lon").collect()
+    dim_cols = ["polygon_id", "ring_lat", "ring_lon"] + [
+        c for c in ("holes_lat", "holes_lon") if c in polygons.columns
+    ]
+    ring_rows = polygons.select(*dim_cols).collect()
     rings = {
-        r["polygon_id"]: G.close_ring(
-            np.array(r["ring_lat"]), np.array(r["ring_lon"])
+        r["polygon_id"]: (
+            *G.close_ring(np.array(r["ring_lat"]), np.array(r["ring_lon"])),
+            SJ.row_holes(r),
         )
         for r in ring_rows
     }
@@ -158,8 +163,8 @@ def rasterize_polygons(
         for pdf in batches:
             out = []
             for pid, cell in zip(pdf["polygon_id"], pdf["cell_id"]):
-                rl, rn = ring_map[pid]
-                n_set, mask = _tile_mask(rl, rn, cell, px, size_p)
+                rl, rn, holes = ring_map[pid]
+                n_set, mask = _tile_mask(rl, rn, cell, px, size_p, holes)
                 out.append((int(pid), int(cell), n_set, mask))
             yield pd.DataFrame(
                 out, columns=["polygon_id", "cell_id", "n_set", "mask"]
@@ -190,13 +195,25 @@ def _rasterize_grouped(
     n_bytes = px * px // 8
     full_mask = bytes([0xFF]) * n_bytes
     cover = classified_cover(polygons, res)
-    joined = cover.join(
-        polygons.select("polygon_id", "ring_lat", "ring_lon"), "polygon_id"
-    )
+    dim_cols = ["polygon_id", "ring_lat", "ring_lon"] + [
+        c for c in ("holes_lat", "holes_lon") if c in polygons.columns
+    ]
+    has_holes = len(dim_cols) == 5
+    joined = cover.join(polygons.select(*dim_cols), "polygon_id")
 
     def raster_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rl, rn = G.close_ring(
             np.array(pdf["ring_lat"].iloc[0]), np.array(pdf["ring_lon"].iloc[0])
+        )
+        holes = (
+            SJ.row_holes(
+                {
+                    "holes_lat": pdf["holes_lat"].iloc[0],
+                    "holes_lon": pdf["holes_lon"].iloc[0],
+                }
+            )
+            if has_holes
+            else []
         )
         pid = int(pdf["polygon_id"].iloc[0])
         out = []
@@ -204,7 +221,7 @@ def _rasterize_grouped(
             if full:
                 out.append((pid, int(cell), px * px, full_mask))
             else:
-                n_set, mask = _tile_mask(rl, rn, cell, px, size_p)
+                n_set, mask = _tile_mask(rl, rn, cell, px, size_p, holes)
                 if n_set or not drop_empty:
                     out.append((pid, int(cell), n_set, mask))
         return pd.DataFrame(

@@ -81,6 +81,19 @@ def polygon_cell_cover(polygons: DataFrame, res: int = C.JOIN_RES) -> DataFrame:
     )
 
 
+def row_holes(p) -> list:
+    """Closed hole rings of a polygon row/dict with OPTIONAL
+    holes_lat/holes_lon columns (array<array<double>> — multipolygon
+    `inner` members); [] when absent or null."""
+    hl = p["holes_lat"] if "holes_lat" in p else None
+    hn = p["holes_lon"] if "holes_lon" in p else None
+    if hl is None or hn is None:
+        return []
+    return [
+        G.close_ring(np.asarray(a), np.asarray(b)) for a, b in zip(hl, hn)
+    ]
+
+
 def classified_cover_rows(polygons_rows: list[dict], res: int) -> list[tuple]:
     """(polygon_id, cell_id, full) rows: FULL cells are entirely inside the
     polygon (every point in them matches with NO exact test); PARTIAL cells
@@ -91,6 +104,12 @@ def classified_cover_rows(polygons_rows: list[dict], res: int) -> list[tuple]:
     intersects its bbox, so a cell passing this test is entirely interior.
     Refine work then scales with polygon PERIMETER, not area — the property
     that keeps the join fast when polygons span thousands of cells.
+
+    Holes (optional holes_lat/holes_lon): hole boundaries count as edges
+    for the touch test and corners must not sit strictly inside a hole —
+    so FULL still means entirely interior. A hole lying wholly inside a
+    cell necessarily has edges in the cell, so it demotes the cell to
+    PARTIAL via edge_touch.
     """
     import numpy as np
 
@@ -100,20 +119,23 @@ def classified_cover_rows(polygons_rows: list[dict], res: int) -> list[tuple]:
     out = []
     for p in polygons_rows:
         rl, rn = G.close_ring(np.asarray(p["ring_lat"]), np.asarray(p["ring_lon"]))
+        holes = row_holes(p)
         cover = CE.bbox_cover(rl.min(), rn.min(), rl.max(), rn.max(), res)
         minlat, minlon, maxlat, maxlon = CE.np_cell_bounds(cover)
         corners_in = np.ones(len(cover), dtype=bool)
         for cl, cn in ((minlat, minlon), (minlat, maxlon), (maxlat, minlon), (maxlat, maxlon)):
-            corners_in &= G.winding_number(cl, cn, rl, rn) != 0
+            corners_in &= G.points_in_polygon_with_holes(cl, cn, rl, rn, holes)
         edge_touch = np.zeros(len(cover), dtype=bool)
-        a_lat, a_lon, b_lat, b_lon = rl[:-1], rn[:-1], rl[1:], rn[1:]
-        for i in range(len(a_lat)):
-            e_minlat, e_maxlat = min(a_lat[i], b_lat[i]), max(a_lat[i], b_lat[i])
-            e_minlon, e_maxlon = min(a_lon[i], b_lon[i]), max(a_lon[i], b_lon[i])
-            edge_touch |= (
-                (e_minlat <= maxlat) & (e_maxlat >= minlat)
-                & (e_minlon <= maxlon) & (e_maxlon >= minlon)
-            )
+        boundary_rings = [(rl, rn)] + holes
+        for brl, brn in boundary_rings:
+            a_lat, a_lon, b_lat, b_lon = brl[:-1], brn[:-1], brl[1:], brn[1:]
+            for i in range(len(a_lat)):
+                e_minlat, e_maxlat = min(a_lat[i], b_lat[i]), max(a_lat[i], b_lat[i])
+                e_minlon, e_maxlon = min(a_lon[i], b_lon[i]), max(a_lon[i], b_lon[i])
+                edge_touch |= (
+                    (e_minlat <= maxlat) & (e_maxlat >= minlat)
+                    & (e_minlon <= maxlon) & (e_maxlon >= minlon)
+                )
         full = corners_in & ~edge_touch
         out.extend(
             (int(p["polygon_id"]), int(c), bool(f)) for c, f in zip(cover, full)
@@ -134,7 +156,10 @@ def classified_cover(polygons: DataFrame, res: int = C.JOIN_RES) -> DataFrame:
             rows = classified_cover_rows(pdf.to_dict("records"), res)
             yield pd.DataFrame(rows, columns=["polygon_id", "cell_id", "full"])
 
-    return polygons.select("polygon_id", "ring_lat", "ring_lon").mapInPandas(
+    cols = ["polygon_id", "ring_lat", "ring_lon"] + [
+        c for c in ("holes_lat", "holes_lon") if c in polygons.columns
+    ]
+    return polygons.select(*cols).mapInPandas(
         classify, schema="polygon_id long, cell_id long, full boolean"
     )
 
@@ -185,35 +210,56 @@ def refine_pip_expr(
     """Exact PIP refine without leaving the JVM: broadcast-join the ring
     arrays onto candidates and filter with `pip_expr`. The default refine —
     scales linearly with cores (the Arrow/numpy variants below exist for
-    polygon sets whose rings are too large to evaluate per-row)."""
-    rings = polygons.select(
-        "polygon_id",
-        F.when(
-            (F.element_at("ring_lat", 1) == F.element_at("ring_lat", -1))
-            & (F.element_at("ring_lon", 1) == F.element_at("ring_lon", -1)),
-            F.col("ring_lat"),
-        ).otherwise(F.concat("ring_lat", F.array(F.element_at("ring_lat", 1)))).alias("_rlat"),
-        F.when(
-            (F.element_at("ring_lat", 1) == F.element_at("ring_lat", -1))
-            & (F.element_at("ring_lon", 1) == F.element_at("ring_lon", -1)),
-            F.col("ring_lon"),
-        ).otherwise(F.concat("ring_lon", F.array(F.element_at("ring_lon", 1)))).alias("_rlon"),
-    )
+    polygon sets whose rings are too large to evaluate per-row).
+
+    Holes (optional holes_lat/holes_lon on the dim): a candidate on a hole
+    boundary stays inside (boundary => inside on every ring); one strictly
+    inside any hole drops. The hole edges precompute on the dim as
+    array<array<edge-struct>> and evaluate with nested HOFs — still no
+    Python."""
+
+    def closed(arr, other):
+        same = (
+            (F.element_at(arr, 1) == F.element_at(arr, -1))
+            & (F.element_at(other, 1) == F.element_at(other, -1))
+        )
+        return F.when(same, arr).otherwise(
+            F.concat(arr, F.array(F.element_at(arr, 1)))
+        )
+
+    def edges_of(rlat, rlon):
+        clat, clon = closed(rlat, rlon), closed(rlon, rlat)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(clat) - 1),
+            lambda i: F.struct(
+                F.element_at(clat, i).alias("alat"),
+                F.element_at(clon, i).alias("alon"),
+                F.element_at(clat, i + 1).alias("blat"),
+                F.element_at(clon, i + 1).alias("blon"),
+            ),
+        )
+
+    has_holes = "holes_lat" in polygons.columns
     # precompute per-edge structs ON THE DIM (once per polygon, broadcast):
     # the per-candidate fold then iterates a build-side array — no per-row
     # sequence() allocation, which is what contends on GC at high core counts
-    rings = rings.withColumn(
-        "_edges",
-        F.transform(
-            F.sequence(F.lit(1), F.size("_rlat") - 1),
-            lambda i: F.struct(
-                F.element_at("_rlat", i).alias("alat"),
-                F.element_at("_rlon", i).alias("alon"),
-                F.element_at("_rlat", i + 1).alias("blat"),
-                F.element_at("_rlon", i + 1).alias("blon"),
-            ),
+    rings = polygons.select(
+        "polygon_id",
+        edges_of(F.col("ring_lat"), F.col("ring_lon")).alias("_edges"),
+        *(
+            [
+                F.transform(
+                    F.sequence(F.lit(1), F.size("holes_lat")),
+                    lambda hi: edges_of(
+                        F.element_at("holes_lat", hi),
+                        F.element_at("holes_lon", hi),
+                    ),
+                ).alias("_hole_edges")
+            ]
+            if has_holes
+            else []
         ),
-    ).drop("_rlat", "_rlon")
+    )
     joined = candidates.join(F.broadcast(rings), "polygon_id")
     plat, plon = F.col(lat), F.col(lon)
 
@@ -233,9 +279,24 @@ def refine_pip_expr(
         dn = (e["alat"] > plat) & (e["blat"] <= plat) & (cross < 0)
         return F.when(up, 1).when(dn, -1).otherwise(0)
 
-    on_edge = F.exists("_edges", on_seg)
-    wn = F.aggregate("_edges", F.lit(0), lambda acc, e: acc + dwn(e))
-    return joined.filter(on_edge | (wn != 0)).drop("_edges")
+    def inside(edges):
+        on_edge = F.exists(edges, on_seg)
+        wn = F.aggregate(edges, F.lit(0), lambda acc, e: acc + dwn(e))
+        return on_edge | (wn != 0)
+
+    def strictly_inside(edges):
+        wn = F.aggregate(edges, F.lit(0), lambda acc, e: acc + dwn(e))
+        return (wn != 0) & ~F.exists(edges, on_seg)
+
+    keep = inside(F.col("_edges"))
+    drop_cols = ["_edges"]
+    if has_holes:
+        in_hole = F.exists(
+            F.col("_hole_edges"), lambda hedges: strictly_inside(hedges)
+        )
+        keep = keep & ~F.coalesce(in_hole, F.lit(False))
+        drop_cols.append("_hole_edges")
+    return joined.filter(keep).drop(*drop_cols)
 
 
 def refine_pip(
@@ -253,10 +314,14 @@ def refine_pip(
     For giant polygon sets see `refine_pip_grouped`.
     """
     spark = candidates.sparkSession
-    ring_rows = polygons.select("polygon_id", "ring_lat", "ring_lon").collect()
+    dim_cols = ["polygon_id", "ring_lat", "ring_lon"] + [
+        c for c in ("holes_lat", "holes_lon") if c in polygons.columns
+    ]
+    ring_rows = polygons.select(*dim_cols).collect()
     rings = {
-        r["polygon_id"]: G.close_ring(
-            np.array(r["ring_lat"]), np.array(r["ring_lon"])
+        r["polygon_id"]: (
+            *G.close_ring(np.array(r["ring_lat"]), np.array(r["ring_lon"])),
+            row_holes(r),
         )
         for r in ring_rows
     }
@@ -273,8 +338,10 @@ def refine_pip(
             plat = pdf[lat].to_numpy(dtype=np.float64)
             plon = pdf[lon].to_numpy(dtype=np.float64)
             for pid, idx in pdf.groupby("polygon_id").indices.items():
-                rl, rn = ring_map[pid]
-                keep[idx] = G.winding_number(plat[idx], plon[idx], rl, rn) != 0
+                rl, rn, holes = ring_map[pid]
+                keep[idx] = G.points_in_polygon_with_holes(
+                    plat[idx], plon[idx], rl, rn, holes
+                )
             yield pdf[keep]
 
     return candidates.mapInPandas(pip_filter, schema=schema)
@@ -288,20 +355,30 @@ def refine_pip_grouped(
 ) -> DataFrame:
     """Refine variant for polygon sets too large to broadcast: co-group
     candidates with rings by polygon_id via applyInPandas (one shuffle)."""
-    joined = candidates.join(
-        polygons.select("polygon_id", "ring_lat", "ring_lon"), "polygon_id"
-    )
+    dim_cols = ["polygon_id", "ring_lat", "ring_lon"] + [
+        c for c in ("holes_lat", "holes_lon") if c in polygons.columns
+    ]
+    has_holes = len(dim_cols) == 5
+    joined = candidates.join(polygons.select(*dim_cols), "polygon_id")
     out_schema = candidates.schema
 
     def pip_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rl, rn = G.close_ring(
             np.array(pdf["ring_lat"].iloc[0]), np.array(pdf["ring_lon"].iloc[0])
         )
-        keep = (
-            G.winding_number(
-                pdf[lat].to_numpy(np.float64), pdf[lon].to_numpy(np.float64), rl, rn
+        holes = (
+            row_holes(
+                {
+                    "holes_lat": pdf["holes_lat"].iloc[0],
+                    "holes_lon": pdf["holes_lon"].iloc[0],
+                }
             )
-            != 0
+            if has_holes
+            else []
+        )
+        keep = G.points_in_polygon_with_holes(
+            pdf[lat].to_numpy(np.float64), pdf[lon].to_numpy(np.float64),
+            rl, rn, holes,
         )
         return pdf.loc[keep, [f.name for f in out_schema.fields]]
 
@@ -322,6 +399,14 @@ def spatial_join(
     dim_threshold: int = AUTO_GROUPED_DIM_THRESHOLD,
 ) -> DataFrame:
     """Full PIP join: point columns + (polygon_id). Exact unless refine=False.
+
+    Multipolygon holes: polygons may carry optional holes_lat/holes_lon
+    columns (array<array<double>> — OSM relation `inner` members, which
+    the reference drops at pkg/geo/parse_osm.go:348-368; this engine
+    honors them). A point strictly inside a hole does not match; a point
+    ON a hole boundary does (boundary => inside on every ring). All
+    refine engines and the FULL/PARTIAL cover classification respect
+    holes; a hole-free dim pays nothing.
 
     refine: "expr" (default — JVM codegen winding number), "arrow"
     (broadcast-rings mapInPandas; for very large rings where the per-edge

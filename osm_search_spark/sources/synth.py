@@ -179,6 +179,57 @@ def concave_polygons_sql() -> str:
     )
 
 
+# --- 2c. donut (multipolygon-with-holes) fixtures ----------------------------
+
+# Outer rings with `inner` (hole) rings — the multipolygon shape the
+# reference drops (pkg/geo/parse_osm.go:348-368 assembles only `outer`
+# members) but real OSM admin extracts contain. Holes are given in
+# arbitrary orientation (the engine's hole test is winding-based and
+# orientation-independent). All inside the derived-points band.
+DONUT_POLYGONS = [
+    # rectangle with one rectangular hole
+    (0,
+     [-7.85, -7.85, -7.55, -7.55, -7.85], [110.30, 110.70, 110.70, 110.30, 110.30],
+     [[-7.75, -7.75, -7.65, -7.65, -7.75]], [[110.40, 110.55, 110.55, 110.40, 110.40]]),
+    # concave L-shape with a hole in the lower arm
+    (1,
+     [-7.80, -7.80, -7.68, -7.68, -7.50, -7.50, -7.80],
+     [110.72, 110.92, 110.92, 110.80, 110.80, 110.72, 110.72],
+     [[-7.77, -7.77, -7.72, -7.72, -7.77]], [[110.82, 110.89, 110.89, 110.82, 110.82]]),
+    # rectangle with TWO holes
+    (2,
+     [-7.48, -7.48, -7.41, -7.41, -7.48], [110.25, 110.90, 110.90, 110.25, 110.25],
+     [[-7.465, -7.465, -7.445, -7.445, -7.465], [-7.455, -7.455, -7.425, -7.425, -7.455]],
+     [[110.30, 110.45, 110.45, 110.30, 110.30], [110.60, 110.80, 110.80, 110.60, 110.60]]),
+]
+
+
+def donut_polygons_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        DONUT_POLYGONS,
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>, "
+        "holes_lat array<array<double>>, holes_lon array<array<double>>",
+    )
+
+
+def donut_polygons_sql() -> str:
+    def arr(xs):
+        return "[" + ",".join(dlit(v) for v in xs) + "]"
+
+    def arr2(xss):
+        return "[" + ",".join(arr(xs) for xs in xss) + "]"
+
+    rows = ",\n".join(
+        f"({pid}, {arr(rl)}::double[], {arr(rn)}::double[], "
+        f"{arr2(hl)}::double[][], {arr2(hn)}::double[][])"
+        for pid, rl, rn, hl, hn in DONUT_POLYGONS
+    )
+    return (
+        "select * from (values\n" + rows +
+        "\n) dp(polygon_id, ring_lat, ring_lon, holes_lat, holes_lon)"
+    )
+
+
 # --- 3. golden kNN objects (exact reference coordinates) ---------------------
 
 # pkg/datastructure/rtree_test.go:222-257 (+ ids 1000/1001 at :330-341)
