@@ -761,6 +761,63 @@ from t
 """
 
 
+# Q14b: the published Gopher corpus-filter battery (+ C4-style duplicate
+# fractions) — one pure-Column projection per doc with a doc-level `keep`
+# verdict at the published thresholds. Floats round(6) for the hash gate;
+# `keep` compares UNROUNDED doubles, which are bit-identical across
+# engines (same sequential sums, same divisions — no libm).
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions.text import (
+        gopher_keep,
+        gopher_quality_features,
+    )
+
+    feats = gopher_quality_features(F.col("text"))
+    float_cols = [
+        "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "dup_line_frac",
+        "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+    ]
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["n_req_stopwords"].alias("n_req_stopwords"),
+        *[F.round(feats[c], 6).alias(c) for c in float_cols],
+        gopher_keep(feats).alias("keep"),
+    )
+
+
+def sql_gopher_quality() -> str:
+    from osm_search_spark.functions.text import gopher_quality_sql
+
+    s = gopher_quality_sql("text")
+    float_cols = [
+        "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "dup_line_frac",
+        "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+    ]
+    keep = (
+        f"({s['n_words']} between 50 and 100000)"
+        f" and ({s['mean_word_len']} between 3 and 10)"
+        f" and ({s['symbol_word_ratio']} <= 0.1)"
+        f" and ({s['bullet_line_frac']} <= 0.9)"
+        f" and ({s['ellipsis_line_frac']} <= 0.3)"
+        f" and ({s['alpha_word_frac']} >= 0.8)"
+        f" and ({s['n_req_stopwords']} >= 2)"
+        f" and ({s['dup_line_frac']} <= 0.30)"
+        f" and ({s['dup_line_char_frac']} <= 0.20)"
+        f" and ({s['dup_para_frac']} <= 0.30)"
+        f" and ({s['dup_para_char_frac']} <= 0.20)"
+    )
+    cols = ",\n       ".join(
+        [f"{s['n_words']} as n_words",
+         f"{s['n_req_stopwords']} as n_req_stopwords"]
+        + [f"round({s[c]}, 6) as {c}" for c in float_cols]
+        + [f"({keep}) as keep"]
+    )
+    return f"select doc_id,\n       {cols}\nfrom documents"
+
+
 # Q15: running sum window over events
 def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1150,6 +1207,31 @@ select doc_id,
             then 'en' else 'other' end as pred_lang
 from t
 """
+
+
+# Q25b: TRAINED language-ID — character n-gram rank profiles (Cavnar &
+# Trenkle out-of-place method) trained on the deterministic labeled synth
+# corpus, classifying its held-out split. Integer-exact (counts / ranks /
+# absolute rank differences), so the twin — which re-derives the ENTIRE
+# train+classify pipeline in SQL — hash-matches with no float rounding.
+# (The documents table's `lang` column is random metadata uncorrelated
+# with its text, hence the dedicated corpus; the stopword heuristic
+# `lang_id` stays as the cheap prefilter variant.)
+def q_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import langid
+
+    corpus = synth.langcorpus_df(spark)
+    profiles = langid.train_char_profiles(corpus.filter(F.col("split") == "train"))
+    return langid.classify_langid(corpus.filter(F.col("split") == "test"), profiles)
+
+
+def sql_lang_id_trained() -> str:
+    from osm_search_spark.operators import langid
+
+    return langid.langid_sql(
+        f"(select lang, text from ({synth.langcorpus_sql()}) where split = 'train')",
+        f"(select doc_id, text from ({synth.langcorpus_sql()}) where split = 'test')",
+    )
 
 
 # Q26: simhash signatures — the oracle-checked query uses the PORTABLE
@@ -1979,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail should hold the oldest, most-stable queries — the ones with the
     # longest green history — never the entries added this round.
     return {
+        "gopher_quality": q_gopher_quality,
+        "lang_id_trained": q_lang_id_trained,
         "donut_pip_join": q_donut_pip,
         "decontaminate": q_decontaminate,
         "decontaminate_winnow": q_decontaminate_winnow,
@@ -2042,6 +2126,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return {
+        "gopher_quality": sql_gopher_quality(),
+        "lang_id_trained": sql_lang_id_trained(),
         "donut_pip_join": sql_donut_pip(),
         "decontaminate": sql_decontaminate(),
         "decontaminate_winnow": sql_decontaminate_winnow(),

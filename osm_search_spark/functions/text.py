@@ -113,6 +113,138 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
+# --- Gopher/C4-style corpus quality filters --------------------------------
+
+# The 8 "required stop words" of the Gopher rules (Rae et al. 2021,
+# App. A): a document must contain at least 2 of them to pass.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _char_sum(arr) -> Column:
+    return F.aggregate(arr, F.lit(0), lambda a, x: a + F.length(x))
+
+
+def gopher_quality_features(text: Column | str) -> dict[str, Column]:
+    """The published Gopher corpus-filter battery (Rae et al. 2021 App. A)
+    + the C4-style duplicate-content fractions, as PURE Column
+    expressions (one projection, no shuffle, no Python — the shape a
+    100 TB filter pass needs). Float features should be round()ed before
+    oracle comparison; `gopher_keep` applies the published thresholds.
+
+    Duplicate-content definitions (the DataTrove/NeMo convention): a
+    line/paragraph occurring c times contributes (c-1) duplicated
+    occurrences and (c-1)*len duplicated characters; fractions are over
+    all occurrences / all characters."""
+    t = _col(text)
+    low = F.lower(t)
+    words = F.filter(F.split(low, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    paras = F.filter(F.split(t, r"\n\n"), lambda x: F.trim(x) != "")
+    n_lines, n_paras = F.size(lines), F.size(paras)
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("int")
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("int")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("-")
+            | F.ltrim(x).startswith("*")
+            | F.ltrim(x).startswith("•"),
+        )
+    )
+    ell_lines = F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("...")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": _char_sum(words) / n_words,
+        "symbol_word_ratio": (n_hash + n_ellipsis) / n_words,
+        "bullet_line_frac": bullet / n_lines,
+        "ellipsis_line_frac": ell_lines / n_lines,
+        "alpha_word_frac": alpha_words / n_words,
+        "n_req_stopwords": F.size(F.array_intersect(words, req)).cast("int"),
+        "dup_line_frac": (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+        "dup_line_char_frac": (
+            (_char_sum(lines) - _char_sum(F.array_distinct(lines)))
+            / _char_sum(lines)
+        ),
+        "dup_para_frac": (n_paras - F.size(F.array_distinct(paras))) / n_paras,
+        "dup_para_char_frac": (
+            (_char_sum(paras) - _char_sum(F.array_distinct(paras)))
+            / _char_sum(paras)
+        ),
+    }
+
+
+def gopher_keep(feats: dict[str, Column]) -> Column:
+    """The published Gopher keep predicate over `gopher_quality_features`
+    (thresholds verbatim from Rae et al. 2021 Appendix A; duplicate
+    fractions from the same table)."""
+    f = feats
+    return (
+        f["n_words"].between(50, 100_000)
+        & f["mean_word_len"].between(3, 10)
+        & (f["symbol_word_ratio"] <= 0.1)
+        & (f["bullet_line_frac"] <= 0.9)
+        & (f["ellipsis_line_frac"] <= 0.3)
+        & (f["alpha_word_frac"] >= 0.8)
+        & (f["n_req_stopwords"] >= 2)
+        & (f["dup_line_frac"] <= 0.30)
+        & (f["dup_line_char_frac"] <= 0.20)
+        & (f["dup_para_frac"] <= 0.30)
+        & (f["dup_para_char_frac"] <= 0.20)
+    )
+
+
+def gopher_quality_sql(text: str) -> dict[str, str]:
+    """DuckDB twins of every gopher_quality_features column (identical
+    arithmetic; float columns still need round() on both sides). Returns
+    SQL snippets keyed by feature name, referencing `{text}`."""
+    words = f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), w -> w <> '')"
+    lines = f"list_filter(string_split({text}, chr(10)), x -> trim(x) <> '')"
+    paras = f"list_filter(string_split({text}, chr(10) || chr(10)), x -> trim(x) <> '')"
+
+    def char_sum(arr):
+        return f"coalesce(list_sum(list_transform({arr}, x -> len(x))), 0)"
+
+    n_hash = f"(len({text}) - len(replace({text}, '#', '')))"
+    n_ell = f"((len({text}) - len(replace({text}, '...', ''))) // 3)"
+    bullet = (
+        f"len(list_filter({lines}, x -> starts_with(ltrim(x), '-') or "
+        f"starts_with(ltrim(x), '*') or starts_with(ltrim(x), '•')))"
+    )
+    ell_lines = f"len(list_filter({lines}, x -> ends_with(rtrim(x), '...')))"
+    alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[a-z]')))"
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
+    return {
+        "n_words": f"cast(len({words}) as bigint)",
+        "mean_word_len": f"cast({char_sum(words)} as double) / len({words})",
+        "symbol_word_ratio": f"cast({n_hash} + {n_ell} as double) / len({words})",
+        "bullet_line_frac": f"cast({bullet} as double) / len({lines})",
+        "ellipsis_line_frac": f"cast({ell_lines} as double) / len({lines})",
+        "alpha_word_frac": f"cast({alpha} as double) / len({words})",
+        "n_req_stopwords": (
+            f"cast(len(list_intersect(list_distinct({words}), [{req}])) as int)"
+        ),
+        "dup_line_frac": (
+            f"cast(len({lines}) - len(list_distinct({lines})) as double) / len({lines})"
+        ),
+        "dup_line_char_frac": (
+            f"cast({char_sum(lines)} - {char_sum(f'list_distinct({lines})')} as double)"
+            f" / {char_sum(lines)}"
+        ),
+        "dup_para_frac": (
+            f"cast(len({paras}) - len(list_distinct({paras})) as double) / len({paras})"
+        ),
+        "dup_para_char_frac": (
+            f"cast({char_sum(paras)} - {char_sum(f'list_distinct({paras})')} as double)"
+            f" / {char_sum(paras)}"
+        ),
+    }
+
+
 # GPT-2-style pre-tokenizer pieces: contractions, letter runs, digit runs,
 # punctuation runs (each optionally space-prefixed). RE2- and Java-regex
 # compatible (no lookarounds), so Spark and DuckDB split identically.

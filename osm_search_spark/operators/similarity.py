@@ -938,6 +938,58 @@ def ivfpq_extend(
     )
 
 
+_HOT_LIST_MAX_SALT = 64
+
+
+def _shuffle_adc_join(
+    corpus_sel: DataFrame,
+    plut: DataFrame,
+    corpus_id: str,
+    hot_list_salt: bool,
+    hot_list_factor: float,
+) -> DataFrame:
+    """SHUFFLE_HASH ADC join on cluster_id with optional hot-list salting
+    (see ivfpq_topk docstring). Output == the plain join row-for-row."""
+    if not hot_list_salt:
+        return corpus_sel.join(plut.hint("SHUFFLE_HASH"), "cluster_id")
+    # list-size probe: one map-side-combined count, bounded by the number
+    # of inverted lists (n_centroids) — never a corpus-sized collect
+    sizes = corpus_sel.groupBy("cluster_id").count().collect()
+    if not sizes:
+        return corpus_sel.join(plut.hint("SHUFFLE_HASH"), "cluster_id")
+    mean = sum(r["count"] for r in sizes) / len(sizes)
+    cut = hot_list_factor * mean
+    hot = {
+        int(r["cluster_id"]): min(
+            _HOT_LIST_MAX_SALT, int(-(-r["count"] // cut))
+        )
+        for r in sizes
+        if r["count"] > cut
+    }
+    if not hot:
+        return corpus_sel.join(plut.hint("SHUFFLE_HASH"), "cluster_id")
+    flat = []
+    for c, s in hot.items():
+        flat += [F.lit(c), F.lit(s)]
+    s_col = F.coalesce(
+        F.element_at(F.create_map(*flat), F.col("cluster_id")), F.lit(1)
+    )
+    # sub-key: deterministic spread of a hot list's codes; cluster_id is
+    # recoverable (the pair key stays equivalent to cluster_id alone for
+    # cold lists where s == 1 -> salt 0)
+    ck = F.col("cluster_id") * _HOT_LIST_MAX_SALT
+    salted_corpus = corpus_sel.withColumn(
+        "_ck", ck + F.pmod(F.xxhash64(F.col(corpus_id)), s_col)
+    )
+    salted_lut = plut.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), s_col - 1))
+    ).withColumn("_ck", ck + F.col("_salt")).drop("_salt")
+    return (
+        salted_corpus.join(salted_lut.hint("SHUFFLE_HASH"), ["cluster_id", "_ck"])
+        .drop("_ck")
+    )
+
+
 def ivfpq_topk(
     probes: DataFrame,
     indexed: DataFrame,
@@ -952,6 +1004,8 @@ def ivfpq_topk(
     refine_factor: int = 5,
     engine: str = "auto",
     max_broadcast_mb: float = DEFAULT_ADC_BROADCAST_MB,
+    hot_list_salt: bool = True,
+    hot_list_factor: float = 4.0,
 ) -> DataFrame:
     """Approximate L2 top-k over the IVF-PQ index: each probe visits only
     its n_probe nearest inverted lists; within a list, distance is the ADC
@@ -969,7 +1023,17 @@ def ivfpq_topk(
     of m*kc doubles). Past it, the ADC join switches to a SHUFFLE_HASH
     join on cluster_id — a real key, so the join stays parallel (unlike
     pq_topk's constant key, which must chunk instead); identical results
-    (tested)."""
+    (tested).
+
+    hot_list_salt (shuffle path only): a PATHOLOGICAL inverted list — one
+    cluster holding a large corpus fraction — concentrates its whole ADC
+    scan in the single task owning that cluster_id. The guard probes list
+    sizes (one bounded map-side-combined count: <= n_centroids rows),
+    salts codes of lists larger than hot_list_factor x the mean across
+    ceil(size / (factor x mean)) sub-keys (<= _HOT_LIST_MAX_SALT), and
+    replicates ONLY those lists' LUT rows across the sub-keys — the LSH
+    mega-bucket posture. Every (code row, LUT row) pair still meets
+    exactly once, so results are identical (tested)."""
     m, kc, dsub = books.shape
     shortlist = k * refine_factor
     p_assigned = probe_clusters(
@@ -979,11 +1043,10 @@ def ivfpq_topk(
     plut = pq_luts(
         p_assigned.select(probe_id, "cluster_id", "rpvec"), books, "rpvec"
     ).drop("rpvec")
-    lut_side = F.broadcast(plut)
+    use_shuffle = False
     if max_broadcast_mb != float("inf"):
         mb = _lut_mb(probes.count() * n_probe, m, kc)
-        if mb > max_broadcast_mb:
-            lut_side = plut.hint("SHUFFLE_HASH")
+        use_shuffle = mb > max_broadcast_mb
 
     adc = None
     for j in range(m):
@@ -991,11 +1054,15 @@ def ivfpq_topk(
             "lut", F.element_at("codes", j + 1) + F.lit(j * kc) + 1
         )
         adc = term if adc is None else adc + term
-    scored = (
-        indexed.select(corpus_id, "cluster_id", "codes")
-        .join(lut_side, "cluster_id")
-        .filter(F.col(corpus_id) != F.col(probe_id))
-        .select(probe_id, corpus_id, adc.alias("adc_dist"))
+    corpus_sel = indexed.select(corpus_id, "cluster_id", "codes")
+    if not use_shuffle:
+        joined = corpus_sel.join(F.broadcast(plut), "cluster_id")
+    else:
+        joined = _shuffle_adc_join(
+            corpus_sel, plut, corpus_id, hot_list_salt, hot_list_factor
+        )
+    scored = joined.filter(F.col(corpus_id) != F.col(probe_id)).select(
+        probe_id, corpus_id, adc.alias("adc_dist")
     )
     w = Window.partitionBy(probe_id).orderBy("adc_dist", F.col(corpus_id))
     short = (

@@ -230,6 +230,67 @@ def donut_polygons_sql() -> str:
     )
 
 
+# --- 2d. labeled language corpus ---------------------------------------------
+
+# Deterministic labeled corpora for the trained language-ID operator
+# (operators/langid.py). Five synthetic "languages" with characteristic
+# orthography (disjoint-ish character n-gram statistics); documents are
+# closed-form word sequences — no RNG. The testdata documents table's
+# `lang` column is random metadata uncorrelated with its text, so a real
+# trained classifier needs this corpus.
+LANG_WORDS = {
+    "alpha": ["aloha", "kainalu", "moana", "lani", "keiki", "hale",
+              "mahalo", "wiki", "ohana", "kokua"],
+    "beta": ["czesk", "szybko", "wrzos", "grzmot", "chrzan", "szczyt",
+             "zwykly", "krzak", "mrzonka", "wszystko"],
+    "gamma": ["schnell", "achtung", "brauch", "schreib", "machtig",
+              "durch", "nacht", "wachs", "schlecht", "bericht"],
+    "delta": ["quixote", "queso", "quinto", "exacto", "jamon", "junto",
+              "viejo", "ojala", "trabajo", "dibujo"],
+    "epsilon": ["fjord", "sjove", "kjole", "bjorn", "fjell", "sjel",
+                "kjaer", "mjuk", "sjarm", "tjern"],
+}
+LANG_N_TRAIN, LANG_N_TEST, LANG_DOC_WORDS = 40, 10, 12
+
+
+def langcorpus_rows() -> list[dict]:
+    """(doc_id, lang, split, text) — train + held-out test docs."""
+    rows = []
+    for li, lang in enumerate(sorted(LANG_WORDS)):
+        words = LANG_WORDS[lang]
+        for d in range(LANG_N_TRAIN + LANG_N_TEST):
+            toks = [
+                words[(d * 7 + j * 11 + li * 3 + (d * j) % 5) % len(words)]
+                for j in range(LANG_DOC_WORDS)
+            ]
+            rows.append(
+                dict(
+                    doc_id=li * 1000 + d,
+                    lang=lang,
+                    split="train" if d < LANG_N_TRAIN else "test",
+                    text=" ".join(toks),
+                )
+            )
+    return rows
+
+
+def langcorpus_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        langcorpus_rows(), "doc_id long, lang string, split string, text string"
+    )
+
+
+def langcorpus_sql() -> str:
+    vals = ",\n".join(
+        f"({r['doc_id']}, '{r['lang']}', '{r['split']}', '{r['text']}')"
+        for r in langcorpus_rows()
+    )
+    return (
+        "select * from (values\n" + vals +
+        "\n) lc(doc_id, lang, split, text)"
+    )
+
+
 # --- 3. golden kNN objects (exact reference coordinates) ---------------------
 
 # pkg/datastructure/rtree_test.go:222-257 (+ ids 1000/1001 at :330-341)

@@ -55,3 +55,50 @@ def test_redact_pii_cases(spark):
     assert got[2] == "acct <NUM> and short 12345 stay"
     assert got[3] == "two: <EMAIL> <EMAIL>"
     assert got[4] == "clean text"
+
+
+def test_gopher_quality_battery(spark):
+    from pyspark.sql import functions as F
+
+    from osm_search_spark.functions.text import (
+        gopher_keep,
+        gopher_quality_features,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps over all of those lazy dogs and cats"]
+        * 5
+    ) + " we have fun with that"
+    dup_lines = "\n".join(["same line here"] * 8 + ["unique one now"] * 2)
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = " ".join(["###"] * 30 + ["word"] * 30)
+    short = "too short"
+    docs = spark.createDataFrame(
+        [(0, good), (1, dup_lines), (2, bullets), (3, symbols), (4, short)],
+        "doc_id long, text string",
+    )
+    feats = gopher_quality_features(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            feats["n_words"].alias("n_words"),
+            feats["dup_line_frac"].alias("dlf"),
+            feats["dup_line_char_frac"].alias("dlcf"),
+            feats["bullet_line_frac"].alias("blf"),
+            feats["symbol_word_ratio"].alias("swr"),
+            feats["n_req_stopwords"].alias("req"),
+            gopher_keep(feats).alias("keep"),
+        ).collect()
+    }
+    assert out[0]["keep"] is True
+    assert out[0]["req"] >= 4
+    # 8 copies of one line -> 7 duplicated of 10 occurrences
+    assert abs(out[1]["dlf"] - 8 / 10) < 1e-9  # (10 - 2 distinct)/10
+    # duplicated chars: 7 * len("same line here") + 1 * len("unique one now")
+    tot = 8 * 14 + 2 * 14
+    assert abs(out[1]["dlcf"] - (7 * 14 + 1 * 14) / tot) < 1e-9
+    assert out[1]["keep"] is False  # dup lines + too few words
+    assert out[2]["blf"] == 1.0 and out[2]["keep"] is False
+    assert out[3]["swr"] >= 1.0 and out[3]["keep"] is False
+    assert out[4]["n_words"] == 2 and out[4]["keep"] is False

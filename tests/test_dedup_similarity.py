@@ -609,3 +609,50 @@ def test_ivfpq_extend_equals_full_encode(spark):
         map(tuple, S.ivfpq_topk(probes, ext, cent, books, k=5, n_probe=4).collect())
     )
     assert ext_res == full_res
+
+
+def test_ivfpq_hot_list_salting_identical(spark):
+    # a planted hot inverted list (~60% of the corpus in one cluster) on
+    # the SHUFFLE_HASH path: the salting guard must spread that list over
+    # sub-keys yet return row-for-row the same results as the unsalted
+    # shuffle plan
+    import numpy as np
+
+    from osm_search_spark.operators import similarity as S
+    from tests.test_plans import plan_str
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(400):
+        if i % 5 < 3:  # 60% hot: tight blob around one centroid
+            v = np.array([10.0] + [0.0] * 31) + rng.normal(0, 0.01, 32)
+        else:
+            v = rng.normal(0, 1.0, 32)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    probes = corpus.filter("vec_id < 10").select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    indexed, cent, books = S.ivfpq_build(corpus, n_centroids=4, m=8, kc=16)
+    indexed = indexed.persist()
+    sizes = [r["count"] for r in indexed.groupBy("cluster_id").count().collect()]
+    assert max(sizes) > 1.5 * (sum(sizes) / len(sizes))  # skew is planted
+    kw = dict(k=5, n_probe=2, max_broadcast_mb=0.0005)
+    base = sorted(
+        map(
+            tuple,
+            S.ivfpq_topk(
+                probes, indexed, cent, books, hot_list_salt=False, **kw
+            ).collect(),
+        )
+    )
+    salted_df = S.ivfpq_topk(
+        probes, indexed, cent, books, hot_list_salt=True,
+        hot_list_factor=1.5, **kw
+    )
+    plan = plan_str(salted_df)
+    assert "_ck" in plan and "ShuffledHashJoin" in plan, plan
+    assert sorted(map(tuple, salted_df.collect())) == base
+    indexed.unpersist()
