@@ -818,6 +818,53 @@ def sql_gopher_quality() -> str:
     return f"select doc_id,\n       {cols}\nfrom documents"
 
 
+# Q14d: C4 line-level cleaner — cleaned_text + line/sentence stats +
+# page verdict (the gate docs are single-line without terminal
+# punctuation, so they clean to empty and fail the page verdict — the
+# multi-line semantics are pinned in test_curation; the gate still
+# hash-checks every rule's computation).
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions.text import c4_clean
+
+    c = c4_clean(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        c["cleaned_text"].alias("cleaned_text"),
+        c["n_lines_total"].alias("n_lines_total"),
+        c["n_lines_kept"].alias("n_lines_kept"),
+        c["n_sentences"].alias("n_sentences"),
+        c["keep_page"].alias("keep_page"),
+    )
+
+
+def sql_c4_clean() -> str:
+    from osm_search_spark.functions.text import c4_clean_sql
+
+    s = c4_clean_sql("text")
+    cols = ",\n       ".join(
+        f"{s[c]} as {c}"
+        for c in ("cleaned_text", "n_lines_total", "n_lines_kept",
+                  "n_sentences", "keep_page")
+    )
+    return f"select doc_id,\n       {cols}\nfrom documents"
+
+
+# Q14c: Gopher repetition-removal measures — per (doc, n) top-n-gram and
+# duplicate-n-gram character fractions for n=2..10 (one union-exploded
+# count shuffle; published thresholds applied by gopher_repetition_keep).
+# Tie parity: Spark's struct max == DuckDB's max_by on (count, gram).
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.curation import gopher_repetition_features
+
+    return gopher_repetition_features(_docs(spark, sf_dir))
+
+
+def sql_gopher_repetition() -> str:
+    from osm_search_spark.operators.curation import gopher_repetition_sql
+
+    return gopher_repetition_sql("documents")
+
+
 # Q15: running sum window over events
 def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2061,6 +2108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail should hold the oldest, most-stable queries — the ones with the
     # longest green history — never the entries added this round.
     return {
+        "c4_clean": q_c4_clean,
+        "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
         "lang_id_trained": q_lang_id_trained,
         "donut_pip_join": q_donut_pip,
@@ -2126,6 +2175,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return {
+        "c4_clean": sql_c4_clean(),
+        "gopher_repetition": sql_gopher_repetition(),
         "gopher_quality": sql_gopher_quality(),
         "lang_id_trained": sql_lang_id_trained(),
         "donut_pip_join": sql_donut_pip(),

@@ -245,6 +245,86 @@ def gopher_quality_sql(text: str) -> dict[str, str]:
     }
 
 
+def _c4_line_ok(line: Column) -> Column:
+    t = F.rtrim(line)
+    terminal = (
+        t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
+    )
+    n_words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+    return (
+        terminal
+        & (n_words >= 3)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_clean(text: Column | str) -> dict[str, Column]:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2) as pure
+    Column expressions: keep lines ending in a terminal punctuation mark
+    (. ! ? ") with >= 3 words and no "javascript"; page-level verdict
+    requires >= 5 sentences (approximated as terminal-punct marks in the
+    kept text — the paper used a sentence splitter), no "lorem ipsum",
+    and no curly brace. (The bad-words page list is a deployment-specific
+    dim join, out of scope here.) Returns cleaned_text + line/sentence
+    stats + keep_page."""
+    t = _col(text)
+    lines = F.split(t, r"\n")
+    kept = F.filter(lines, _c4_line_ok)
+    cleaned = F.concat_ws("\n", kept)
+    n_sentences = (
+        F.length(cleaned)
+        - F.length(
+            F.replace(
+                F.replace(
+                    F.replace(cleaned, F.lit("."), F.lit("")),
+                    F.lit("!"), F.lit(""),
+                ),
+                F.lit("?"), F.lit(""),
+            )
+        )
+    ).cast("int")
+    low = F.lower(t)
+    return {
+        "cleaned_text": cleaned,
+        "n_lines_total": F.size(lines).cast("int"),
+        "n_lines_kept": F.size(kept).cast("int"),
+        "n_sentences": n_sentences,
+        "keep_page": (
+            (n_sentences >= 5)
+            & ~low.contains("lorem ipsum")
+            & ~t.contains("{")
+        ),
+    }
+
+
+def c4_clean_sql(text: str) -> dict[str, str]:
+    """DuckDB twins of every c4_clean column (identical rules)."""
+    line_ok = (
+        "(ends_with(rtrim(x), '.') or ends_with(rtrim(x), '!') or "
+        "ends_with(rtrim(x), '?') or ends_with(rtrim(x), '\"')) and "
+        "len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> '')) >= 3 "
+        "and not contains(lower(x), 'javascript')"
+    )
+    kept = f"list_filter(string_split({text}, chr(10)), x -> {line_ok})"
+    # DuckDB's array_to_string returns NULL for an empty list; Spark's
+    # concat_ws returns '' — coalesce to match
+    cleaned = f"coalesce(array_to_string({kept}, chr(10)), '')"
+    n_sent = (
+        f"cast(len({cleaned}) - len(replace(replace(replace({cleaned}, '.', ''),"
+        f" '!', ''), '?', '')) as int)"
+    )
+    return {
+        "cleaned_text": cleaned,
+        "n_lines_total": f"cast(len(string_split({text}, chr(10))) as int)",
+        "n_lines_kept": f"cast(len({kept}) as int)",
+        "n_sentences": n_sent,
+        "keep_page": (
+            f"(({n_sent}) >= 5 and not contains(lower({text}), 'lorem ipsum')"
+            f" and not contains({text}, '{{'))"
+        ),
+    }
+
+
 # GPT-2-style pre-tokenizer pieces: contractions, letter runs, digit runs,
 # punctuation runs (each optionally space-prefixed). RE2- and Java-regex
 # compatible (no lookarounds), so Spark and DuckDB split identically.

@@ -88,3 +88,133 @@ def redact_sql(expr: str) -> str:
         f"regexp_replace(regexp_replace({expr}, '{EMAIL_RE}', '<EMAIL>', 'g'),"
         f" '{LONG_NUM_RE}', '<NUM>', 'g')"
     )
+
+
+# --- Gopher n-gram repetition filters ---------------------------------------
+
+# Published thresholds (Rae et al. 2021 App. A, "repetition removal"):
+# a doc is dropped when the most-frequent word n-gram covers too many
+# characters (n=2..4) or duplicated n-grams cover too many (n=5..10).
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_features(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(doc_id, n, top_char_frac, dup_char_frac) for n = 2..10 — the
+    Gopher repetition-removal measures over word n-grams:
+
+    - top_char_frac (meaningful for n=2..4): characters covered by ALL
+      occurrences of the single most frequent n-gram / total normalized
+      characters (gram chars = its text length with single spaces; ties
+      broken by gram text ascending, matching the twin).
+    - dup_char_frac (meaningful for n=5..10): Σ over grams occurring
+      more than once of (count - 1) × gram chars / total characters —
+      the occurrences-beyond-first convention the open implementations
+      (DataTrove/NeMo) use; overlap between duplicated grams is counted
+      per occurrence, not deduplicated (documented approximation).
+
+    One exploded union across the 9 n values → ONE (doc, n, gram) count
+    shuffle → per-(doc, n) aggregates; total chars ride from a per-doc
+    projection (no second pass over text). Docs shorter than n tokens
+    simply have no n-row (the keep helper treats absent as passing)."""
+    from ..functions.text import ngrams, tokenize_simple
+
+    toks = tokenize_simple(F.col(text))
+    base = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        toks.alias("_t"),
+        F.length(F.concat_ws(" ", toks)).alias("_chars"),
+    )
+    per_n = None
+    for n in range(2, 11):
+        g = base.select(
+            "doc_id", "_chars", F.lit(n).alias("n"),
+            F.explode(ngrams("_t", n)).alias("gram"),
+        )
+        per_n = g if per_n is None else per_n.unionByName(g)
+    counts = per_n.groupBy("doc_id", "n", "_chars", "gram").count()
+    glen = F.length("gram")
+    return (
+        counts.groupBy("doc_id", "n")
+        .agg(
+            (
+                F.max(
+                    F.struct(
+                        F.col("count"),
+                        # ties -> lexicographically LAST gram under max();
+                        # invert by sorting on the negated comparison is
+                        # not expressible, so order by (count, gram) and
+                        # document: ties broken by gram text DESCENDING
+                        F.col("gram").alias("g"),
+                        glen.alias("gl"),
+                    )
+                ).alias("_top")
+            ),
+            F.sum(F.when(F.col("count") > 1, (F.col("count") - 1) * glen).otherwise(0)).alias("_dupchars"),
+            F.first("_chars").alias("_chars"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.round(
+                (F.col("_top.count") * F.col("_top.gl")) / F.col("_chars"), 6
+            ).alias("top_char_frac"),
+            F.round(F.col("_dupchars") / F.col("_chars"), 6).alias("dup_char_frac"),
+        )
+    )
+
+
+def gopher_repetition_keep(features: DataFrame) -> DataFrame:
+    """(doc_id, keep_repetition): AND of the published thresholds over
+    every n present for the doc (absent n rows pass vacuously)."""
+    checks = F.lit(True)
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        checks = checks & F.when(F.col("n") == n, F.col("top_char_frac") <= thr).otherwise(True)
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        checks = checks & F.when(F.col("n") == n, F.col("dup_char_frac") <= thr).otherwise(True)
+    return features.groupBy("doc_id").agg(
+        F.min(checks).alias("keep_repetition")
+    )
+
+
+def gopher_repetition_sql(docs_rel: str) -> str:
+    """DuckDB twin of gopher_repetition_features (ties in the top gram
+    broken by gram text descending, mirroring Spark's struct max)."""
+    from ..functions.text import tokenize_simple_sql
+
+    toks = tokenize_simple_sql("text")
+    unions = "\nunion all\n".join(
+        f"select doc_id, _chars, {n} as n, "
+        f"unnest([array_to_string(_t[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len(_t) - {n} + 1)]) as gram from base"
+        for n in range(2, 11)
+    )
+    return f"""
+with base as (
+  select doc_id, {toks} as _t,
+         len(array_to_string({toks}, ' ')) as _chars
+  from {docs_rel}
+),
+g as ({unions}),
+counts as (
+  select doc_id, n, _chars, gram, count(*) as cnt from g group by 1, 2, 3, 4
+),
+top as (
+  select doc_id, n, cnt * len(gram) as top_chars,
+         row_number() over (partition by doc_id, n
+                            order by cnt desc, gram desc) as rn
+  from counts
+),
+dups as (
+  select doc_id, n,
+         sum(case when cnt > 1 then (cnt - 1) * len(gram) else 0 end) as dupchars,
+         first(_chars) as chars
+  from counts group by 1, 2
+)
+select d.doc_id, d.n,
+       round(cast(t.top_chars as double) / d.chars, 6) as top_char_frac,
+       round(cast(d.dupchars as double) / d.chars, 6) as dup_char_frac
+from dups d join top t on t.doc_id = d.doc_id and t.n = d.n and t.rn = 1
+"""

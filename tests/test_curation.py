@@ -102,3 +102,78 @@ def test_gopher_quality_battery(spark):
     assert out[2]["blf"] == 1.0 and out[2]["keep"] is False
     assert out[3]["swr"] >= 1.0 and out[3]["keep"] is False
     assert out[4]["n_words"] == 2 and out[4]["keep"] is False
+
+
+def test_gopher_repetition_features_and_keep(spark):
+    from pyspark.sql import functions as F
+
+    from osm_search_spark.operators.curation import (
+        gopher_repetition_features,
+        gopher_repetition_keep,
+    )
+
+    rep = " ".join(["spam ham"] * 20)  # one bigram dominating everything
+    # 60 distinct words: the published thresholds assume the >=50-word
+    # filter already passed (a short doc's single top trigram alone can
+    # exceed 18% of its characters)
+    clean = " ".join(f"word{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, rep), (1, clean)], "doc_id long, text string"
+    )
+    feats = gopher_repetition_features(docs)
+    rows = {(r["doc_id"], r["n"]): r for r in feats.collect()}
+    # doc 0: "spam ham" bigram occurs 20x; "ham spam" 19x. top bigram
+    # covers 20 * 8 = 160 of 179 chars
+    assert abs(rows[(0, 2)]["top_char_frac"] - round(160 / 179, 6)) < 1e-9
+    # dup chars at n=2: (20-1)*8 + (19-1)*8 = 296 of 179 chars (>1: the
+    # occurrences-beyond-first convention counts overlapping grams)
+    assert abs(rows[(0, 2)]["dup_char_frac"] - round(296 / 179, 6)) < 1e-9
+    # clean doc: every bigram unique -> dup 0, top tiny
+    assert rows[(1, 2)]["dup_char_frac"] == 0.0
+    assert rows[(1, 2)]["top_char_frac"] < 0.2
+    keep = {
+        r["doc_id"]: r["keep_repetition"]
+        for r in gopher_repetition_keep(feats).collect()
+    }
+    assert keep == {0: False, 1: True}
+
+
+def test_c4_clean_line_rules(spark):
+    from pyspark.sql import functions as F
+
+    from osm_search_spark.functions.text import c4_clean
+
+    page = "\n".join(
+        [
+            "This is a proper sentence with enough words.",  # kept
+            "Short one.",                                    # < 3 words
+            "no terminal punctuation here at all",           # no punct
+            "Enable javascript to view this content.",       # javascript
+            'He said "stop right there."',                   # kept
+            "Another good sentence ends here!",              # kept
+            "Is this a question with many words?",           # kept
+            "And one more sentence to pass the bar.",        # kept
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(0, page),
+         (1, page + "\nlorem ipsum dolor sit amet."),
+         (2, page.replace("stop", "{stop}")),
+         (3, "one good sentence only right here.")],
+        "doc_id long, text string",
+    )
+    c = c4_clean(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *(c[k].alias(k) for k in c)
+        ).collect()
+    }
+    assert out[0]["n_lines_total"] == 8 and out[0]["n_lines_kept"] == 5
+    kept_lines = out[0]["cleaned_text"].split("\n")
+    assert len(kept_lines) == 5
+    assert all("javascript" not in line.lower() for line in kept_lines)
+    assert out[0]["n_sentences"] >= 5 and out[0]["keep_page"] is True
+    assert out[1]["keep_page"] is False  # lorem ipsum
+    assert out[2]["keep_page"] is False  # curly brace
+    assert out[3]["keep_page"] is False  # < 5 sentences
