@@ -517,6 +517,112 @@ def sql_decontaminate() -> str:
     )
 
 
+# Q12h2: doc-level decontamination verdicts — every corpus doc with its
+# contaminated flag and benchmark-match count (the frame a corpus build
+# filters on). Twin: the pair query aggregated and left-joined back.
+def q_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.decontaminate import decontaminate_flags
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate_flags(corpus, bench, n=13)
+
+
+def sql_decontaminate_flags() -> str:
+    return f"""
+with pairs as ({sql_decontaminate()}),
+hits as (select doc_id, count(*) as n_bench_matches from pairs group by 1)
+select d.doc_id,
+       h.n_bench_matches is not null as contaminated,
+       coalesce(h.n_bench_matches, 0) as n_bench_matches
+from (select doc_id from documents where doc_id % 10 <> 0) d
+left join hits h using (doc_id)
+"""
+
+
+# Q12h3: span EXCISION — tokens covered by any benchmark-shared 13-gram
+# are removed, the rest of the doc survives in normalized order (the
+# span-removal alternative to dropping whole docs). Twin re-derives
+# positional gram matches + covered token indexes + the rebuild in SQL
+# (positions via the two-unnests-ZIP idiom; comprehension var renamed so
+# it can't shadow the zipped position column).
+def q_decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.decontaminate import decontaminate_excise
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate_excise(corpus, bench, n=13)
+
+
+def sql_decontaminate_excise(n: int = 13) -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    gh = (
+        f"('0x' || substr(md5(array_to_string(tk[p:p+{n - 1}], ' ')), 1, 15))::bigint"
+    )
+    return f"""
+with dtk as (
+  select doc_id, {toks} as tk from documents where doc_id % 10 <> 0
+),
+btk as (
+  select doc_id as bench_id, {toks} as tk from documents where doc_id % 10 = 0
+),
+bg0 as (
+  select distinct bench_id,
+    ('0x' || substr(md5(gram), 1, 15))::bigint as gh
+  from (
+    select bench_id,
+      unnest([array_to_string(tk[i:i+{n - 1}], ' ')
+              for i in generate_series(1, len(tk) - {n} + 1)]) as gram
+    from btk)
+),
+bset as (
+  select gh from bg0 group by gh having count(*) <= 1000
+),
+pos as (
+  select doc_id,
+         unnest(generate_series(1, len(tk) - {n - 1})) as i,
+         unnest([{gh} for p in generate_series(1, len(tk) - {n - 1})]) as gh
+  from dtk where len(tk) >= {n}
+),
+flagged as (select distinct doc_id from pos join bset using (gh)),
+covered as (
+  select distinct * from (
+    select p.doc_id, unnest(generate_series(p.i, p.i + {n - 1})) as j
+    from pos p join bset using (gh))
+),
+tokrows as (
+  select d.doc_id,
+         unnest(tk) as tok,
+         unnest(generate_series(1, len(tk))) as j
+  from dtk d join flagged using (doc_id)
+),
+rebuilt as (
+  select t.doc_id,
+         array_to_string(list(t.tok order by t.j), ' ') as text_clean
+  from tokrows t left join covered c on c.doc_id = t.doc_id and c.j = t.j
+  where c.doc_id is null
+  group by t.doc_id
+),
+removed as (select doc_id, count(*) as n_removed from covered group by 1)
+select f.doc_id,
+       coalesce(r.text_clean, '') as text_clean,
+       coalesce(m.n_removed, 0) as n_tokens_removed
+from flagged f
+left join rebuilt r using (doc_id)
+left join removed m using (doc_id)
+union all
+select d.doc_id, array_to_string(d.tk, ' ') as text_clean,
+       0 as n_tokens_removed
+from dtk d anti join flagged using (doc_id)
+"""
+
+
 # Q12i: winnowing-variant decontamination — fingerprint collisions between
 # corpus and benchmark (shared token run >= w + k - 1 guarantees a hit at
 # ~1/w the gram volume); twin composes the winnowing twin on both slices.
@@ -2108,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail should hold the oldest, most-stable queries — the ones with the
     # longest green history — never the entries added this round.
     return {
+        "decontaminate_excise": q_decontaminate_excise,
+        "decontaminate_flags": q_decontaminate_flags,
         "c4_clean": q_c4_clean,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
@@ -2175,6 +2283,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return {
+        "decontaminate_excise": sql_decontaminate_excise(),
+        "decontaminate_flags": sql_decontaminate_flags(),
         "c4_clean": sql_c4_clean(),
         "gopher_repetition": sql_gopher_repetition(),
         "gopher_quality": sql_gopher_quality(),

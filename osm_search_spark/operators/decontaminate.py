@@ -168,6 +168,97 @@ def decontaminate_flags(
     )
 
 
+def decontaminate_excise(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_N,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    max_gram_bench_docs: int | None = DEFAULT_MAX_GRAM_BENCH_DOCS,
+) -> DataFrame:
+    """(doc_id, text_clean, n_tokens_removed): EXCISE the contaminated
+    spans instead of dropping whole docs (the span-removal alternative
+    real corpus builds use when a doc is mostly clean): every token
+    covered by ANY n-gram shared with the benchmark is removed; the rest
+    of the document survives in order.
+
+    text_clean is the NORMALIZED reconstruction (lowercased, single
+    spaces — the same tokenizer the collision join uses); clean docs get
+    the normalized identity with n_tokens_removed = 0.
+
+    Scale shape: the positional gram pass (posexplode — positions can't
+    dedupe) runs ONLY on docs the collision join flagged (a left-semi
+    join restricts it first), so the full corpus pays exactly the
+    `decontaminate` cost plus a tiny flagged-docs pass."""
+    bgrams = _gram_hashes(benchmark, bench_id, bench_text, n, "bench_id")
+    if max_gram_bench_docs is not None:
+        bgrams = _drop_heavy(bgrams, bgrams, max_gram_bench_docs)
+    bset = bgrams.select("gh").distinct()
+    flagged = (
+        decontaminate(
+            docs, benchmark, n, doc_id, text, bench_id, bench_text,
+            max_gram_bench_docs=max_gram_bench_docs,
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    toks = tokenize_simple(F.col(text))
+    base = docs.select(F.col(doc_id).alias("doc_id"), toks.alias("_t"))
+    dirty = base.join(flagged, "doc_id", "leftsemi")
+    # positional grams of flagged docs only; token span [i+1, i+n]
+    pos = dirty.select(
+        "doc_id", F.posexplode(ngrams("_t", n)).alias("_i0", "_g")
+    ).select("doc_id", (F.col("_i0") + 1).alias("_i"), _gram_hash(F.col("_g")).alias("gh"))
+    covered = (
+        pos.join(F.broadcast(bset), "gh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias("_j"),
+        )
+        .distinct()
+    )
+    tok_rows = dirty.select(
+        "doc_id", F.posexplode("_t").alias("_j0", "_tok")
+    ).select("doc_id", (F.col("_j0") + 1).alias("_j"), "_tok")
+    rebuilt = (
+        tok_rows.join(covered, ["doc_id", "_j"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_j", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("text_clean")
+        )
+    )
+    removed = covered.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_removed")
+    )
+    dirty_out = (
+        dirty.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        )
+    )
+    clean_out = (
+        base.join(flagged, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "_t").alias("text_clean"),
+            F.lit(0).cast("long").alias("n_tokens_removed"),
+        )
+    )
+    return dirty_out.unionByName(clean_out)
+
+
 def decontaminate_winnow(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -114,3 +114,43 @@ def test_winnow_variant_guarantee(spark):
     got = decontaminate_winnow(docs, bench, k=5, w=4).collect()
     assert {(r["doc_id"], r["bench_id"]) for r in got} == {(1, 5)}
     assert all(r["n_shared_fps"] >= 1 for r in got)
+
+
+def test_excision_removes_planted_span_only(spark):
+    from osm_search_spark.operators.decontaminate import decontaminate_excise
+
+    pre, post = "intro words here and", "trailing words after that"
+    docs = spark.createDataFrame(
+        [(1, f"{pre} {RUN} {post}"),
+         (2, "completely clean document with no overlap at all")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {RUN} answer")],
+        "bench_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+        for r in decontaminate_excise(docs, bench, n=13).collect()
+    }
+    # exactly the 13 planted tokens vanish; surrounding text survives in order
+    assert out[1] == (f"{pre} {post}", 13)
+    assert out[2] == ("completely clean document with no overlap at all", 0)
+
+
+def test_excision_overlapping_matches_cover_union(spark):
+    from osm_search_spark.operators.decontaminate import decontaminate_excise
+
+    run15 = RUN + " nov osc"  # 15 tokens -> three overlapping 13-grams
+    docs = spark.createDataFrame(
+        [(1, f"aa bb {run15} cc dd")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, f"q {run15} r")], "bench_id long, text string"
+    )
+    [(clean, removed)] = [
+        (r["text_clean"], r["n_tokens_removed"])
+        for r in decontaminate_excise(docs, bench, n=13).collect()
+    ]
+    # the union of the three overlapping grams is the whole 15-token run
+    assert clean == "aa bb cc dd" and removed == 15

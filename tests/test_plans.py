@@ -123,3 +123,53 @@ def test_autocomplete_topk_is_take_ordered_and_no_corpus_rescan(spark):
     # corpus tokenize (no mapInPandas/stemming scan, no concat_ws retok)
     assert "concat_ws" not in plan
     assert df.count() > 0
+
+
+def test_decontaminate_plan_no_nested_loop(spark):
+    # the collision join must stay an equi hash join end-to-end — never a
+    # cartesian/nested-loop — in every prune mode
+    from osm_search_spark.operators.decontaminate import decontaminate
+
+    docs = _docs(spark)
+    bench = docs.limit(5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    for prune in (None, "semi", "bloom"):
+        plan = plan_str(decontaminate(docs, bench, n=3, prune=prune))
+        assert "CartesianProduct" not in plan, (prune, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (prune, plan)
+
+
+def test_langid_profiles_join_is_broadcast(spark):
+    # the scoring join against the (n_langs x top_k) profile dim must
+    # broadcast — the doc side never shuffles for it
+    from osm_search_spark.operators import langid
+    from osm_search_spark.sources import synth
+
+    corpus = synth.langcorpus_df(spark)
+    prof = langid.train_char_profiles(corpus.filter(F.col("split") == "train"))
+    plan = plan_str(
+        langid.classify_langid(corpus.filter(F.col("split") == "test"), prof)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_spatial_join_holes_stay_codegen(spark):
+    # the hole-aware "expr" refine must not introduce Python evaluation:
+    # no PythonUDF / MapInPandas below the refine filter (classified
+    # cover's mapInPandas over the tiny polygon dim is the one exception
+    # and sits on the dim side)
+    from osm_search_spark.operators.spatial_join import refine_pip_expr
+
+    polys = spark.createDataFrame(
+        [(0, [0.0, 0.0, 10.0, 10.0, 0.0], [0.0, 10.0, 10.0, 0.0, 0.0],
+          [[3.0, 3.0, 7.0, 7.0, 3.0]], [[3.0, 7.0, 7.0, 3.0, 3.0]])],
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>, "
+        "holes_lat array<array<double>>, holes_lon array<array<double>>",
+    )
+    cand = spark.createDataFrame(
+        [(1, 0, 1.0, 1.0)], "point_id long, polygon_id long, lat double, lon double"
+    )
+    plan = plan_str(refine_pip_expr(cand, polys))
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
