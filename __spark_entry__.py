@@ -623,6 +623,59 @@ from dtk d anti join flagged using (doc_id)
 """
 
 
+# Q12e2: deterministic corpus sampling — reprocessing-stable keep-set by
+# salted-md5 id buckets (df.sample's output depends on partitioning; a
+# corpus build needs the SAME sample on re-runs).
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.curation import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.3).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def sql_deterministic_sample() -> str:
+    from osm_search_spark.operators.curation import sample_predicate_sql
+
+    return (
+        "select doc_id, lang, source from documents where "
+        + sample_predicate_sql("doc_id", 0.3)
+    )
+
+
+# Q12e3: sequence packing — the GPT concat-then-chunk shape: global token
+# offset per doc (scalable weighted prefix sum: range partition + local
+# running sum + per-partition totals, never a single-partition window)
+# and the training-chunk span [chunk_first, chunk_last] at the budget.
+# Twin: a plain window cumsum (DuckDB can afford the global sort).
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def sql_pack_sequences(budget: int = 512) -> str:
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    return f"""
+with base as (
+  select doc_id, cast(len({toks}) as bigint) as n_tokens from documents
+),
+pre as (
+  select doc_id, n_tokens,
+         coalesce(sum(n_tokens) over (order by doc_id
+             rows between unbounded preceding and 1 preceding), 0) as tok_offset
+  from base
+)
+select doc_id, n_tokens, tok_offset,
+       cast(floor(cast(tok_offset as double) / {budget}) as bigint) as chunk_first,
+       greatest(
+         cast(floor(cast(tok_offset + n_tokens - 1 as double) / {budget}) as bigint),
+         cast(floor(cast(tok_offset as double) / {budget}) as bigint)
+       ) as chunk_last
+from pre
+"""
+
+
 # Q12i: winnowing-variant decontamination — fingerprint collisions between
 # corpus and benchmark (shared token run >= w + k - 1 guarantees a hit at
 # ~1/w the gram volume); twin composes the winnowing twin on both slices.
@@ -2214,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail should hold the oldest, most-stable queries — the ones with the
     # longest green history — never the entries added this round.
     return {
+        "deterministic_sample": q_deterministic_sample,
+        "pack_sequences": q_pack_sequences,
         "decontaminate_excise": q_decontaminate_excise,
         "decontaminate_flags": q_decontaminate_flags,
         "c4_clean": q_c4_clean,
@@ -2283,6 +2338,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return {
+        "deterministic_sample": sql_deterministic_sample(),
+        "pack_sequences": sql_pack_sequences(),
         "decontaminate_excise": sql_decontaminate_excise(),
         "decontaminate_flags": sql_decontaminate_flags(),
         "c4_clean": sql_c4_clean(),

@@ -218,3 +218,105 @@ select d.doc_id, d.n,
        round(cast(d.dupchars as double) / d.chars, 6) as dup_char_frac
 from dups d join top t on t.doc_id = d.doc_id and t.n = d.n and t.rn = 1
 """
+
+
+# --- deterministic sampling + sequence packing ------------------------------
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ~rate fraction by id hash (the same salted-md5
+    buckets as assign_split): reprocessing-stable — re-running on a grown
+    corpus keeps exactly the same old rows, unlike df.sample whose output
+    depends on partitioning. Pure Column, no shuffle."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    cut = round(rate * SPLIT_BUCKETS)
+    return df.filter(split_bucket(id_col, salt) < cut)
+
+
+def sample_predicate_sql(id_expr: str, rate: float, salt: str = "sample") -> str:
+    """DuckDB twin of deterministic_sample's keep predicate."""
+    cut = round(rate * SPLIT_BUCKETS)
+    return f"({split_bucket_sql(id_expr, salt)} < {cut})"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    id_partitions: int = 64,
+) -> DataFrame:
+    """(doc_id, n_tokens, tok_offset, chunk_first, chunk_last) — concat-
+    chunk sequence packing (the GPT training-data shape): documents
+    concatenate in doc_id order into ONE token stream; training chunk k
+    holds stream positions [k*budget, (k+1)*budget), and a document may
+    span chunks. `offset` is the global running token count BEFORE the
+    doc.
+
+    The global cumsum never funnels through a single-partition window:
+    range-partition on doc_id, per-partition token totals (one bounded
+    collect of <= id_partitions rows) become partition offsets, and a
+    partition-LOCAL running sum completes the prefix — the zipWithIndex
+    pattern generalized from ranks to weighted prefix sums (same recipe
+    as search.term_dict ids). Empty docs get chunk_last == chunk_first."""
+    from ..functions.text import tokenize_simple
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.size(tokenize_simple(F.col(text))).cast("long").alias("n_tokens"),
+    )
+    parts = (
+        base.repartitionByRange(id_partitions, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = sorted(
+        parts.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    if not totals:
+        parts.unpersist(blocking=False)
+        return base.select(
+            "doc_id", "n_tokens",
+            F.lit(0).cast("long").alias("tok_offset"),
+            F.lit(0).cast("long").alias("chunk_first"),
+            F.lit(0).cast("long").alias("chunk_last"),
+        ).limit(0)
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["t"]
+    off = F.create_map(
+        *[F.lit(x) for pid_acc in offsets.items() for x in pid_acc]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = off[F.col("_pid")] + F.coalesce(
+        F.sum("n_tokens").over(w), F.lit(0)
+    )
+    out = parts.select(
+        "doc_id",
+        "n_tokens",
+        offset.cast("long").alias("tok_offset"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / budget).cast("long").alias("chunk_first"),
+        F.greatest(
+            F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / budget),
+            F.floor(F.col("tok_offset") / budget),
+        ).cast("long").alias("chunk_last"),
+    )
+    # materialize while the ranged layout is pinned, then free the cache
+    # (search.term_dict discipline: an unpersist-then-recompute could
+    # resample range boundaries => wrong offsets)
+    out = out.localCheckpoint(eager=True)
+    parts.unpersist(blocking=False)
+    return out

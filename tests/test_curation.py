@@ -177,3 +177,46 @@ def test_c4_clean_line_rules(spark):
     assert out[1]["keep_page"] is False  # lorem ipsum
     assert out[2]["keep_page"] is False  # curly brace
     assert out[3]["keep_page"] is False  # < 5 sentences
+
+
+def test_deterministic_sample_stability(spark):
+    from osm_search_spark.operators.curation import deterministic_sample
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    kept = {r["doc_id"] for r in deterministic_sample(docs, 0.3).collect()}
+    # roughly the requested rate
+    assert 0.25 < len(kept) / 1000 < 0.35
+    # growing the corpus never changes old membership
+    grown = spark.range(2000).withColumnRenamed("id", "doc_id")
+    kept2 = {r["doc_id"] for r in deterministic_sample(grown, 0.3).collect()}
+    assert {k for k in kept2 if k < 1000} == kept
+    # rate bounds validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5)
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    from pyspark.sql import functions as F
+
+    from osm_search_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 5))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["n_tokens"], r["tok_offset"], r["chunk_first"], r["chunk_last"])
+        for r in pack_sequences(docs, budget=16, id_partitions=8).collect()
+    )
+    # offsets are the exact prefix sums in doc_id order (range partition +
+    # local window must reproduce the single-stream cumsum)
+    acc = 0
+    for doc_id, n, off, cf, cl in out:
+        assert off == acc, (doc_id, off, acc)
+        assert cf == off // 16
+        assert cl == max((off + n - 1) // 16, cf)
+        acc += n
+    # a doc straddling a budget boundary spans two chunks
+    assert any(cl > cf for _, _, _, cf, cl in out)
