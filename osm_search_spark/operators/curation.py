@@ -260,7 +260,11 @@ def pack_sequences(
     collect of <= id_partitions rows) become partition offsets, and a
     partition-LOCAL running sum completes the prefix — the zipWithIndex
     pattern generalized from ranks to weighted prefix sums (same recipe
-    as search.term_dict ids). Empty docs get chunk_last == chunk_first."""
+    as search.term_dict ids). Empty docs get chunk_last == chunk_first.
+
+    doc_id must be UNIQUE: the stream order (and therefore each doc's
+    offset) is defined by doc_id, and duplicate ids would make the
+    running sum's tie order nondeterministic."""
     from ..functions.text import tokenize_simple
     from pyspark.sql import Window
 

@@ -48,6 +48,11 @@ _HEAVY_GRAM_LITERALS = 1000
 
 DEFAULT_N = 13  # the published n-gram-collision protocol length
 
+# bloom_words materializes m/30 driver-side longs; past this m the word
+# list itself is hundreds of MB and the filter should live as a TABLE
+# (prune="semi") instead of a broadcast array.
+MAX_BLOOM_M = 1 << 28
+
 
 def _gram_hash(c):
     """Engine-portable 60-bit gram hash (md5-prefix — the winnowing /
@@ -122,7 +127,16 @@ def decontaminate(
 
         n_grams = bgrams.count()  # bounded dim: one tiny job
         if bloom_m is None:
-            bloom_m = max(1 << 13, 1 << max(0, (20 * max(n_grams, 1) - 1)).bit_length())
+            bloom_m = min(
+                MAX_BLOOM_M,
+                max(1 << 13, 1 << max(0, (20 * max(n_grams, 1) - 1)).bit_length()),
+            )
+        if bloom_m > MAX_BLOOM_M:
+            raise ValueError(
+                f"bloom_m={bloom_m} exceeds the driver-side word-list "
+                f"ceiling ({MAX_BLOOM_M}); use prune='semi' for benchmarks "
+                "whose gram set needs a larger filter"
+            )
         words = bloom.bloom_words(
             bloom.bloom_build(bgrams, "gh", m_bits=bloom_m), bloom_m
         )
