@@ -977,6 +977,23 @@ def sql_gopher_quality() -> str:
     return f"select doc_id,\n       {cols}\nfrom documents"
 
 
+# Q14e: duplicate-line removal transform (first occurrence kept, order
+# preserved; Spark array_distinct vs an explicit row_number derivation in
+# the twin since DuckDB's list_distinct scrambles order).
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions.text import dedup_lines
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", dedup_lines(F.col("text")).alias("text_clean")
+    )
+
+
+def sql_dedup_lines() -> str:
+    from osm_search_spark.functions.text import dedup_lines_sql
+
+    return dedup_lines_sql("documents", "doc_id", "text")
+
+
 # Q14d: C4 line-level cleaner — cleaned_text + line/sentence stats +
 # page verdict (the gate docs are single-line without terminal
 # punctuation, so they clean to empty and fail the page verdict — the
@@ -2267,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail should hold the oldest, most-stable queries — the ones with the
     # longest green history — never the entries added this round.
     return {
+        "dedup_lines": q_dedup_lines,
         "deterministic_sample": q_deterministic_sample,
         "pack_sequences": q_pack_sequences,
         "decontaminate_excise": q_decontaminate_excise,
@@ -2338,6 +2356,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return {
+        "dedup_lines": sql_dedup_lines(),
         "deterministic_sample": sql_deterministic_sample(),
         "pack_sequences": sql_pack_sequences(),
         "decontaminate_excise": sql_decontaminate_excise(),

@@ -248,6 +248,39 @@ def gopher_quality_sql(text: str) -> dict[str, str]:
     }
 
 
+def dedup_lines(text: Column | str) -> Column:
+    """Remove duplicate lines keeping each line's FIRST occurrence in
+    order — the cleaning transform the dup_line_frac feature points at
+    (boilerplate nav/footer lines repeat within scraped pages). Pure
+    Column: Spark's array_distinct is first-occurrence order-preserving.
+    (The DuckDB twin must derive first-occurrence explicitly —
+    list_distinct there does NOT preserve order.)"""
+    return F.concat_ws("\n", F.array_distinct(F.split(_col(text), r"\n")))
+
+
+def dedup_lines_sql(rel: str, id_col: str, text: str) -> str:
+    """DuckDB twin: first-occurrence kept via row_number over line index,
+    rebuilt in original order. Returns a full query (id_col, text_clean)."""
+    lines = f"string_split({text}, chr(10))"
+    return f"""
+with l as (
+  select {id_col},
+         unnest({lines}) as line,
+         unnest(generate_series(1, len({lines}))) as i
+  from {rel}
+),
+f as (
+  select {id_col}, line, i,
+         row_number() over (partition by {id_col}, line order by i) as rn
+  from l
+)
+select {id_col},
+       coalesce(array_to_string(list(line order by i) filter (rn = 1),
+                chr(10)), '') as text_clean
+from f group by {id_col}
+"""
+
+
 def _c4_line_ok(line: Column) -> Column:
     t = F.rtrim(line)
     terminal = (

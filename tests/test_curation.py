@@ -220,3 +220,15 @@ def test_pack_sequences_offsets_and_chunks(spark):
         acc += n
     # a doc straddling a budget boundary spans two chunks
     assert any(cl > cf for _, _, _, cf, cl in out)
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    from pyspark.sql import functions as F
+
+    from osm_search_spark.functions.text import dedup_lines
+
+    page = "\n".join(["nav bar", "real content one", "nav bar",
+                      "real content two", "footer", "footer", "nav bar"])
+    docs = spark.createDataFrame([(0, page)], "doc_id long, text string")
+    [row] = docs.select(dedup_lines(F.col("text")).alias("c")).collect()
+    assert row["c"] == "nav bar\nreal content one\nreal content two\nfooter"
