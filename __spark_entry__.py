@@ -662,8 +662,9 @@ with base as (
 ),
 pre as (
   select doc_id, n_tokens,
-         coalesce(sum(n_tokens) over (order by doc_id
-             rows between unbounded preceding and 1 preceding), 0) as tok_offset
+         cast(coalesce(sum(n_tokens) over (order by doc_id
+             rows between unbounded preceding and 1 preceding), 0) as bigint)
+           as tok_offset
   from base
 )
 select doc_id, n_tokens, tok_offset,

@@ -115,9 +115,10 @@ def classify_langid(
         F.col(doc_id).alias("doc_id"),
         F.md5(F.lower(F.col(text_col))).alias("_tid"),
     )
-    return keyed.join(F.broadcast(best), "_tid").select(
-        "doc_id", "pred_lang", "dist"
-    )
+    # No broadcast hint: `best` is one row per UNIQUE text, unbounded at
+    # corpus scale — a shuffle hash join on _tid is the safe default
+    # (AQE will still broadcast it when it measures small).
+    return keyed.join(best, "_tid").select("doc_id", "pred_lang", "dist")
 
 
 def langid_sql(
@@ -161,7 +162,7 @@ dprof as (
 langs as (select distinct lang from prof),
 scored as (
   select d.doc_id, l.lang,
-         sum(coalesce(abs(d.drank - p.rank), {top_k})) as dist
+         cast(sum(coalesce(abs(d.drank - p.rank), {top_k})) as bigint) as dist
   from dprof d cross join langs l
   left join prof p on p.lang = l.lang and p.gram = d.gram
   group by 1, 2
@@ -171,5 +172,5 @@ best as (
          row_number() over (partition by doc_id order by dist, lang) as rn
   from scored
 )
-select doc_id, pred_lang, dist from best where rn = 1
+select cast(doc_id as bigint) as doc_id, pred_lang, dist from best where rn = 1
 """
