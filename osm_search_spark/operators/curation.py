@@ -108,7 +108,7 @@ def gopher_repetition_features(
     - top_char_frac (meaningful for n=2..4): characters covered by ALL
       occurrences of the single most frequent n-gram / total normalized
       characters (gram chars = its text length with single spaces; ties
-      broken by gram text ascending, matching the twin).
+      broken by gram text descending, matching the twin).
     - dup_char_frac (meaningful for n=5..10): Σ over grams occurring
       more than once of (count - 1) × gram chars / total characters —
       the occurrences-beyond-first convention the open implementations

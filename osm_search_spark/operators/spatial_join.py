@@ -110,6 +110,15 @@ def classified_cover_rows(polygons_rows: list[dict], res: int) -> list[tuple]:
     so FULL still means entirely interior. A hole lying wholly inside a
     cell necessarily has edges in the cell, so it demotes the cell to
     PARTIAL via edge_touch.
+
+    Cells provably OUTSIDE the polygon are excluded from the cover
+    entirely (round-6): with no boundary edge bbox touching the cell the
+    winding number is constant across it, so ~edge_touch & ~corners_in
+    means every point in the cell is outside — hole interiors and the
+    bbox gaps of concave polygons. Candidates there previously survived
+    to the refine and died; now they never join (cost no longer scales
+    with hole AREA). Exact, not heuristic: a corner on the boundary
+    implies an edge through it, whose bbox touches the cell.
     """
     import numpy as np
 
@@ -137,8 +146,11 @@ def classified_cover_rows(polygons_rows: list[dict], res: int) -> list[tuple]:
                     & (e_minlon <= maxlon) & (e_maxlon >= minlon)
                 )
         full = corners_in & ~edge_touch
+        keep = edge_touch | corners_in
         out.extend(
-            (int(p["polygon_id"]), int(c), bool(f)) for c, f in zip(cover, full)
+            (int(p["polygon_id"]), int(c), bool(f))
+            for c, f, k in zip(cover, full, keep)
+            if k
         )
     return out
 
@@ -227,6 +239,15 @@ def refine_pip_expr(
             F.concat(arr, F.array(F.element_at(arr, 1)))
         )
 
+    def seq1(n):
+        # Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+        # an empty holes array would otherwise feed element_at indices
+        # 1 AND 0 into the transform and abort the whole join
+        # (holes=[] is the most common real encoding for hole-free rows).
+        return F.when(n >= F.lit(1), F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
     def edges_of(clat, clon):
         return F.transform(
             F.sequence(F.lit(1), F.size(clat) - 1),
@@ -255,14 +276,14 @@ def refine_pip_expr(
         *(
             [
                 F.transform(
-                    F.sequence(F.lit(1), F.size("holes_lat")),
+                    seq1(F.size("holes_lat")),
                     lambda hi: closed(
                         F.element_at("holes_lat", hi),
                         F.element_at("holes_lon", hi),
                     ),
                 ).alias("_hlat"),
                 F.transform(
-                    F.sequence(F.lit(1), F.size("holes_lon")),
+                    seq1(F.size("holes_lon")),
                     lambda hi: closed(
                         F.element_at("holes_lon", hi),
                         F.element_at("holes_lat", hi),
@@ -279,7 +300,7 @@ def refine_pip_expr(
         *(
             [
                 F.transform(
-                    F.sequence(F.lit(1), F.size("_hlat")),
+                    seq1(F.size("_hlat")),
                     lambda hi: edges_of(
                         F.element_at("_hlat", hi), F.element_at("_hlon", hi)
                     ),

@@ -23,9 +23,11 @@ foreachBatch is at-least-once; an additive/mergeable table needs:
 - **Fail loud on corruption**: a table root with committed version dirs
   but no readable pointer raises for READERS instead of silently
   re-initialising. The one recoverable writer case: a crash between the
-  FIRST commit's dir rename and its pointer write leaves exactly `v0`
-  and no pointer (no pointer can ever have existed once v1+ exists) —
-  the replaying writer clears the orphan and redoes the merge.
+  FIRST commit's dir rename and its pointer write leaves exactly `v0`,
+  no pointer, and the `_first_commit_inflight` marker written just
+  before the rename — the replaying writer clears the orphan and redoes
+  the merge. Without the marker (pointer lost externally on a committed
+  one-batch table) writers fail loud like readers.
 
 `start_merge_stream` is the generic operator: callers supply ONE
 function `merge_batch(committed_or_None, batch_df) -> new snapshot` and
@@ -44,6 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "CURRENT"
 _VERSION_RE = re.compile(r"^v(\d+)$")
 _STAGING_PREFIX = "_staging_"
+# Written immediately before the FIRST commit's dir rename, removed after
+# its pointer write: its presence is positive evidence the v0-no-pointer
+# state came from a writer crash (not external pointer loss), gating the
+# writer-side auto-recovery below (ADVICE r05).
+_FIRST_COMMIT_MARKER = "_first_commit_inflight"
 # Snapshot-expiry window: current + previous survive; older versions are
 # retired at the next commit. A reader pinned to a snapshot older than
 # the window can lose its files — the standard Iceberg expire-snapshots
@@ -126,12 +133,16 @@ def commit_batch(
         rec = read_pointer(table_dir)
     except RuntimeError:
         # Writer-side recovery: a crash between the FIRST commit's dir
-        # rename and its pointer write leaves exactly v0 and no pointer
-        # (v1+ can only exist after a pointer was written, so anything
-        # else really is corruption). The replaying writer redoes batch 0.
+        # rename and its pointer write leaves exactly v0, no pointer, and
+        # the in-flight marker (written just before the rename). All
+        # three conditions must hold — a one-batch table whose pointer
+        # was lost EXTERNALLY has no marker and stays fail-loud, so the
+        # committed snapshot is never silently destroyed.
         vs = _version_dirs(table_dir)
-        if [int(e[1:]) for e in vs] == [0]:
+        marker = os.path.join(table_dir, _FIRST_COMMIT_MARKER)
+        if [int(e[1:]) for e in vs] == [0] and os.path.exists(marker):
             shutil.rmtree(os.path.join(table_dir, vs[0]), ignore_errors=True)
+            os.remove(marker)
             rec = None
         else:
             raise
@@ -153,6 +164,10 @@ def commit_batch(
     # dir (rename done, pointer not) — it was never committed, clear it
     if os.path.exists(final):
         shutil.rmtree(final, ignore_errors=True)
+    if seq == 0:
+        # crash-evidence marker for the one recoverable writer state
+        with open(os.path.join(table_dir, _FIRST_COMMIT_MARKER), "w") as f:
+            f.write(str(batch_id))
     os.replace(staging, final)
     # commit = atomic pointer replace; readers never see a partial table
     tmp = os.path.join(table_dir, f"{_POINTER}.tmp")
@@ -167,6 +182,9 @@ def commit_batch(
             f,
         )
     os.replace(tmp, os.path.join(table_dir, _POINTER))
+    marker = os.path.join(table_dir, _FIRST_COMMIT_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
     # retire snapshots older than the recovery window + stale staging dirs
     versions = _version_dirs(table_dir)
     for old in versions[:-_KEEP_VERSIONS]:

@@ -60,6 +60,32 @@ def test_spatial_join_all_engines_respect_holes(spark, donut):
     assert got == [1, 2, 3, 5]
 
 
+def test_mixed_dim_empty_holes_all_engines(spark, donut):
+    """A dim mixing a donut row with a hole-free row encoded holes=[] —
+    the most common real encoding — must not abort: sequence(1, 0) is
+    DESCENDING in Spark and previously fed element_at indices 1 and 0 of
+    the empty array in refine_pip_expr (ADVICE r05 high)."""
+    plain = spark.createDataFrame(
+        [(1, [20.0, 20.0, 30.0, 30.0, 20.0], [0.0, 10.0, 10.0, 0.0, 0.0],
+          [], [])],
+        DONUT_SCHEMA,
+    )
+    dim = donut.unionByName(plain)
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0),    # donut interior -> polygon 0
+         (2, 5.0, 5.0),    # donut hole -> no match
+         (3, 25.0, 5.0),   # plain interior -> polygon 1
+         (4, 50.0, 5.0)],  # outside both
+        "point_id long, lat double, lon double",
+    )
+    for refine in ("expr", "arrow", "grouped"):
+        got = sorted(
+            (r["point_id"], r["polygon_id"])
+            for r in spatial_join(pts, dim, refine=refine).collect()
+        )
+        assert got == [(1, 0), (3, 1)], refine
+
+
 def test_classified_cover_full_cells_avoid_holes(spark):
     # a big donut in the testdata band; FULL cells must all be entirely
     # inside (outer minus hole) — verified against the exact kernel
@@ -79,6 +105,25 @@ def test_classified_cover_full_cells_avoid_holes(spark):
         ((minlat + maxlat) / 2, (minlon + maxlon) / 2),
     ):
         assert G.points_in_polygon_with_holes(cl, cn, rl, rn, holes).all()
+    # round-6 cover exclusion: no cover cell lies entirely inside the
+    # hole (provably outside the polygon — its candidates would only die
+    # in refine). Check: every cover cell's center is inside the polygon
+    # OR the cell touches a boundary edge bbox.
+    all_cells = np.array([r["cell_id"] for r in cover])
+    cminlat, cminlon, cmaxlat, cmaxlon = np_cell_bounds(all_cells)
+    center_in = G.points_in_polygon_with_holes(
+        (cminlat + cmaxlat) / 2, (cminlon + cmaxlon) / 2, rl, rn, holes
+    )
+    touch = np.zeros(len(all_cells), dtype=bool)
+    for brl, brn in [(rl, rn)] + holes:
+        for i in range(len(brl) - 1):
+            touch |= (
+                (min(brl[i], brl[i + 1]) <= cmaxlat)
+                & (max(brl[i], brl[i + 1]) >= cminlat)
+                & (min(brn[i], brn[i + 1]) <= cmaxlon)
+                & (max(brn[i], brn[i + 1]) >= cminlon)
+            )
+    assert (center_in | touch).all()  # zero hole-interior / outside cells
 
 
 def test_rasterize_holes_and_roundtrip(spark):

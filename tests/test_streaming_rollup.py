@@ -147,17 +147,28 @@ def test_streaming_rollup_first_commit_crash_recovers(spark, tmp_path):
             [tuple(r.values()) for r in _rows(lo, hi)], schema
         ).withColumn("ts", F.to_timestamp("ts"))
 
-    # simulate the batch-0 crash: data dir renamed into place, no pointer
+    # simulate the batch-0 crash: data dir renamed into place, no pointer,
+    # in-flight marker still present (the crash left it behind)
     commit_batch(spark, str(table), 0, _merge_batch, batch(0, 40), "s1")
     (table / "CURRENT").unlink()
+    (table / "_first_commit_inflight").write_text("0")
     # readers still fail loud on the orphan
     with pytest.raises(RuntimeError, match="no CURRENT pointer"):
         read_table(spark, str(table))
     # the replaying writer recovers and commits batch 0
     commit_batch(spark, str(table), 0, _merge_batch, batch(0, 40), "s1")
+    assert not (table / "_first_commit_inflight").exists()
     got = sorted(map(tuple, read_table(spark, str(table)).collect()))
     want = sorted(map(tuple, time_rollup(batch(0, 40)).collect()))
     assert got == want
+    # a one-batch table whose pointer is lost EXTERNALLY (no in-flight
+    # marker = no crash evidence): writers must NOT destroy v0 (ADVICE r05)
+    ext = tmp_path / "rollup_ext"
+    commit_batch(spark, str(ext), 0, _merge_batch, batch(0, 40), "s1")
+    (ext / "CURRENT").unlink()
+    with pytest.raises(RuntimeError, match="no CURRENT pointer"):
+        commit_batch(spark, str(ext), 0, _merge_batch, batch(0, 40), "s1")
+    assert (ext / "v0").is_dir()  # committed snapshot survives
     # advance to v1, then delete the pointer: NOT recoverable
     commit_batch(spark, str(table), 1, _merge_batch, batch(40, 90), "s1")
     (table / "CURRENT").unlink()
