@@ -324,3 +324,44 @@ def pack_sequences(
     out = out.localCheckpoint(eager=True)
     parts.unpersist(blocking=False)
     return out
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    max_n: int = 4,
+    oov_threshold: int = 2,
+    keep_quantile: float | None = None,
+) -> DataFrame:
+    """(doc_id, n_scored, log_prob, avg_log_prob) — the CCNet-style LM
+    quality signal: score every document's stupid-backoff log-probability
+    under the corpus's own n-gram model (operators/ngram_lm.py semantics,
+    ngram_lm.go:300-337). Gibberish / boilerplate-mangled documents sit in
+    the low-avg_log_prob tail; a curation pass drops below a threshold.
+
+    Pipeline (all distributed, one vocabulary end to end):
+      1. tokenize + `replace_oov` (corpus frequency < oov_threshold ->
+         <UNK>) — model and scored stream share the vocabulary;
+      2. `ngram_counts` over the replaced stream (n = 1..max_n);
+      3. `corpus_log_prob`: per-position gram melt + ONE join against the
+         counts table + the backoff cascade.
+
+    With keep_quantile set (e.g. 0.1), adds a `keep` flag marking docs
+    ABOVE the given quantile of avg_log_prob (approxQuantile on the
+    score frame — one extra bounded pass; the cutoff is approximate, the
+    standard trade for a corpus-scale percentile).
+    """
+    from .ngram_lm import corpus_log_prob, ngram_counts, replace_oov
+    from .search import doc_tokens
+
+    toks = doc_tokens(
+        docs.select(F.col(doc_id).alias("doc_id"), F.col(text).alias("text"))
+    )
+    toks = replace_oov(toks, oov_threshold).localCheckpoint(eager=True)
+    counts = ngram_counts(toks, max_n=max_n, oov_threshold=None)
+    scored = corpus_log_prob(toks, counts)
+    if keep_quantile is None:
+        return scored
+    cut = scored.approxQuantile("avg_log_prob", [keep_quantile], 0.001)[0]
+    return scored.withColumn("keep", F.col("avg_log_prob") > F.lit(cut))

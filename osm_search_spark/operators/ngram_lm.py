@@ -174,6 +174,106 @@ def query_log_prob(
     )
 
 
+def corpus_log_prob(
+    tokens_df: DataFrame,
+    counts: DataFrame,
+    total_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_scored, log_prob, avg_log_prob) for EVERY document —
+    the corpus-scale counterpart of `query_log_prob` (CCNet-style LM
+    quality signal: a doc's stupid-backoff log-probability under the
+    corpus n-gram model; low avg_log_prob = high perplexity = gibberish).
+
+    Scale shape: documents explode into per-position rows (one per token
+    + </s>), each position melts into its 7 gram lookups (g4, c3, g3,
+    c2, g2, c1, g1), and ALL lookups resolve through ONE left join
+    against the counts table on (n, gram) — not 7 sequential joins; a
+    groupBy(doc, pos) pivots the slots back before the backoff cascade
+    (the same cascade as query_log_prob, ngram_lm.go:323-337). Counts
+    may be far larger than memory: the single join shuffles both sides
+    by gram hash, no broadcast assumption, no driver materialization.
+
+    tokens_df must already carry the token stream to score (apply
+    `replace_oov` first if OOV semantics are wanted — the model and the
+    scored stream should share one vocabulary).
+    """
+    if total_freq is None:
+        total_freq = total_word_freq(counts)
+
+    padded = _padded(F.col("tokens"), 4)
+
+    def key(i, start, ln):
+        return F.concat_ws(" ", F.slice(padded, i + start, ln))
+
+    pos_struct = F.transform(
+        F.sequence(F.lit(5), F.size(padded)),  # size >= 5 always: never desc
+        lambda i: F.struct(
+            i.alias("pos"),
+            key(i, -3, 4).alias("g4"),
+            key(i, -3, 3).alias("c3"),
+            key(i, -2, 3).alias("g3"),
+            key(i, -2, 2).alias("c2"),
+            key(i, -1, 2).alias("g2"),
+            F.element_at(padded, i - 1).alias("c1"),
+            F.element_at(padded, i).alias("g1"),
+        ),
+    )
+    pos = tokens_df.select(
+        "doc_id", F.explode(pos_struct).alias("p")
+    ).select("doc_id", "p.*")
+
+    # melt: each position contributes 7 (slot, n, gram) lookups; ONE join
+    slots = [
+        ("g4", 4), ("c3", 3), ("g3", 3), ("c2", 2),
+        ("g2", 2), ("c1", 1), ("g1", 1),
+    ]
+    melted = pos.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slot"),
+                        F.lit(n).alias("n"),
+                        F.col(s).alias("gram"),
+                    )
+                    for s, n in slots
+                ]
+            )
+        ).alias("m"),
+    ).select("doc_id", "pos", "m.*")
+    joined = melted.join(counts, ["n", "gram"], "left")
+    pivoted = joined.groupBy("doc_id", "pos").agg(
+        *[
+            F.max(F.when(F.col("slot") == s, F.col("count"))).alias(f"n_{s}")
+            for s, _ in slots
+        ]
+    )
+
+    lam = BACKOFF_LAMBDA
+    p4 = F.coalesce(F.col("n_g4"), F.lit(0)) / F.col("n_c3")
+    p3 = F.coalesce(F.col("n_g3"), F.lit(0)) / F.col("n_c2")
+    p2 = F.coalesce(F.col("n_g2"), F.lit(0)) / F.col("n_c1")
+    p1 = F.coalesce(F.col("n_g1"), F.lit(0)) / F.lit(float(total_freq))
+    prob = (
+        F.when(F.col("n_c3").isNotNull() & (F.coalesce(F.col("n_g4"), F.lit(0)) > 0), p4)
+        .when(F.col("n_c2").isNotNull() & (F.coalesce(F.col("n_g3"), F.lit(0)) > 0), F.lit(lam) * p3)
+        .when(F.col("n_c1").isNotNull() & (F.coalesce(F.col("n_g2"), F.lit(0)) > 0), F.lit(lam * lam) * p2)
+        .otherwise(F.lit(lam**3) * p1)
+    )
+    log_p = F.when(prob > 0, F.log(prob)).otherwise(F.lit(float("-inf")))
+    return (
+        pivoted.withColumn("log_p", log_p)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum("log_p").alias("log_prob"),
+        )
+        .withColumn("avg_log_prob", F.col("log_prob") / F.col("n_scored"))
+    )
+
+
 def best_query(
     spark: SparkSession,
     candidate_queries: list[list[str]],

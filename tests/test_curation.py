@@ -232,3 +232,42 @@ def test_dedup_lines_first_occurrence_order(spark):
     docs = spark.createDataFrame([(0, page)], "doc_id long, text string")
     [row] = docs.select(dedup_lines(F.col("text")).alias("c")).collect()
     assert row["c"] == "nav bar\nreal content one\nreal content two\nfooter"
+
+
+def test_perplexity_filter_flags_gibberish(spark):
+    """Planted gibberish (unique unseen token soup) must land in the low
+    avg_log_prob tail relative to formulaic corpus text, and the
+    keep_quantile flag must drop exactly the below-cutoff docs."""
+    normal = [
+        (i, "the quick brown fox jumps over the lazy dog every day")
+        for i in range(40)
+    ]
+    gibberish = [
+        (100 + i, f"zxq{i}v wplk{i}j qmfr{i}x ggth{i}b nnvc{i}d")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(normal + gibberish, "doc_id long, text string")
+    scored = curation.perplexity_filter(docs).collect()
+    by_id = {r["doc_id"]: r["avg_log_prob"] for r in scored}
+    assert len(by_id) == 44
+    worst_normal = min(v for k, v in by_id.items() if k < 100)
+    best_gibberish = max(v for k, v in by_id.items() if k >= 100)
+    assert best_gibberish < worst_normal
+    kept = curation.perplexity_filter(docs, keep_quantile=0.09).collect()
+    flags = {r["doc_id"]: r["keep"] for r in kept}
+    assert all(not flags[100 + i] for i in range(4))
+    assert sum(flags.values()) >= 38
+
+
+def test_perplexity_filter_empty_and_single_token_docs(spark):
+    """Degenerate docs still score: an empty doc has exactly one scored
+    position (</s>); no position explodes a descending sequence."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in curation.perplexity_filter(docs).collect()}
+    assert rows[1]["n_scored"] == 1
+    assert rows[2]["n_scored"] == 2
+    assert rows[3]["n_scored"] == 3
+    for r in rows.values():
+        assert r["log_prob"] is not None

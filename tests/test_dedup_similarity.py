@@ -656,3 +656,67 @@ def test_ivfpq_hot_list_salting_identical(spark):
     assert "_ck" in plan and "ShuffledHashJoin" in plan, plan
     assert sorted(map(tuple, salted_df.collect())) == base
     indexed.unpersist()
+
+
+def _semdedup_fixture(spark, n_per_cluster=25, dim=16, seed=7):
+    """Well-separated clusters around axis directions with planted
+    paraphrase clones (small jitter of an original -> cos ~ 0.999)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(4):
+        base = np.zeros(dim)
+        base[c * 4] = 1.0
+        for i in range(n_per_cluster):
+            # jitter wide enough that two cluster-mates stay clearly
+            # below the 0.99 near-dup threshold (cos ~ 0.75), while the
+            # planted clones (0.001 jitter) sit at cos ~ 0.9999
+            v = base + rng.normal(0, 0.15, dim)
+            rows.append((c * 1000 + i, [float(x) for x in v]))
+    # clones of the first 3 vectors of each cluster
+    clones = []
+    for c in range(4):
+        for i in range(3):
+            vid, v = rows[c * n_per_cluster + i]
+            jit = np.asarray(v) * 1.01 + rng.normal(0, 0.001, dim)
+            clones.append((10000 + vid, [float(x) for x in jit]))
+    return spark.createDataFrame(
+        rows + clones, "vec_id long, embedding array<double>"
+    )
+
+
+def test_semantic_dedup_planted_paraphrases(spark):
+    emb = _semdedup_fixture(spark)
+    out = similarity.semantic_dedup(
+        emb, n_clusters=4, threshold=0.99, n_planes=None, seed=3
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 112  # 100 originals + 12 clones
+    for c in range(4):
+        for i in range(3):
+            orig, clone = c * 1000 + i, 10000 + c * 1000 + i
+            # clone joins its original's component; the original (min id)
+            # is canonical, the clone is not
+            assert by_id[clone]["component_id"] == by_id[orig]["component_id"]
+            assert by_id[orig]["is_canonical"]
+            assert not by_id[clone]["is_canonical"]
+            assert by_id[clone]["cluster_id"] == by_id[orig]["cluster_id"]
+    # every non-clone doc with no near-dup is its own canonical component
+    lonely = [r for r in out if r["vec_id"] < 10000 and r["vec_id"] % 1000 >= 3]
+    assert all(r["is_canonical"] and r["component_id"] == r["vec_id"] for r in lonely)
+
+
+def test_semantic_dedup_lsh_default_matches_exact_on_planted(spark):
+    """The LSH-restricted default must find the same components as the
+    exact path on the planted fixture: jittered clones are near-parallel
+    to their originals, so every hyperplane sign agrees w.h.p. — and any
+    missed ORIGINAL-pair collision would change components, so run both
+    and compare the full output."""
+    emb = _semdedup_fixture(spark)
+    kw = dict(n_clusters=4, threshold=0.99, seed=3)
+    exact = sorted(
+        map(tuple, similarity.semantic_dedup(emb, n_planes=None, **kw).collect())
+    )
+    lsh = sorted(
+        map(tuple, similarity.semantic_dedup(emb, n_planes=8, **kw).collect())
+    )
+    assert exact == lsh

@@ -100,3 +100,32 @@ def test_big_vocab_join_path(spark):
     # token order/count preserved for every doc
     bad = out.filter(F.size("tokens") != 3).count()
     assert bad == 0
+
+
+def test_corpus_log_prob_matches_query_log_prob(spark):
+    """corpus_log_prob (melted one-join corpus scorer) must agree with
+    query_log_prob (the per-query 7-join scorer) on identical token
+    streams — same counts, same backoff cascade, same -inf semantics."""
+    toks = spark.createDataFrame(DOCS, "doc_id long, tokens array<string>")
+    counts = _counts(spark)
+    corpus = {
+        r["doc_id"]: r["log_prob"]
+        for r in ngram_lm.corpus_log_prob(toks, counts).collect()
+    }
+    per_query = {
+        qid: r["log_prob"]
+        for qid, r in zip(
+            [1, 2, 3],
+            sorted(
+                ngram_lm.query_log_prob(
+                    spark, [d[1] for d in DOCS], counts
+                ).collect(),
+                key=lambda r: r["query_id"],
+            ),
+        )
+    }
+    assert set(corpus) == {1, 2, 3}
+    for did in corpus:
+        assert math.isclose(
+            corpus[did], per_query[did], rel_tol=1e-12
+        ), (did, corpus[did], per_query[did])
