@@ -87,41 +87,45 @@ def _drop_heavy(grams: DataFrame, per_doc: DataFrame, cap: int) -> DataFrame:
     return grams
 
 
-def decontaminate(
-    docs: DataFrame,
+class PreparedBenchmark:
+    """The benchmark side of `decontaminate`, built ONCE and reused —
+    the streaming path's fixed-cost killer: per micro-batch the gram
+    pass, boilerplate cap, Bloom build, and the driver-side word collect
+    are all pure recomputation of a STATIC dim, so a stream prepares the
+    benchmark up front (`prepare_benchmark`) and every batch pays only
+    the corpus-side scan + prune + join."""
+
+    __slots__ = ("bgrams", "n", "prune", "bloom_words", "bloom_m")
+
+    def __init__(self, bgrams, n, prune, bloom_words, bloom_m):
+        self.bgrams = bgrams
+        self.n = n
+        self.prune = prune
+        self.bloom_words = bloom_words
+        self.bloom_m = bloom_m
+
+
+def prepare_benchmark(
     benchmark: DataFrame,
     n: int = DEFAULT_N,
-    doc_id: str = "doc_id",
-    text: str = "text",
     bench_id: str = "bench_id",
     bench_text: str = "text",
     max_gram_bench_docs: int | None = DEFAULT_MAX_GRAM_BENCH_DOCS,
     prune: str | None = "bloom",
     bloom_m: int | None = None,
-) -> DataFrame:
-    """(doc_id, bench_id, n_collisions): for every corpus doc sharing at
-    least one token n-gram with a benchmark doc, the number of DISTINCT
-    shared n-grams. Any row here = contamination under the published
-    n-gram-collision protocol; downstream either drops the doc or excises
-    the overlapping span.
-
-    prune: "bloom" (default) pre-filters the corpus gram stream against a
-    Bloom filter of the benchmark's grams (scan-side, no shuffle, exact —
-    FPs die in the join); "semi" uses an exact left-semi join instead
-    (equivalent output, pays the join for every corpus gram); None goes
-    straight to the join. bloom_m: filter size in bits; default sizes to
-    ~20 bits/gram (FP ≈ 1-2% at k=4), floor 2^13 — past the literal
-    ceiling the arrow engine engages automatically (bloom.bloom_prune).
-
-    max_gram_bench_docs: benchmark-side boilerplate cap (see module doc);
-    None disables (textbook protocol)."""
-    dgrams = _gram_hashes(docs, doc_id, text, n, "doc_id")
+) -> PreparedBenchmark:
+    """Gram-hash + cap + (optionally) Bloom-build the benchmark dim once;
+    the result is reusable across any number of `decontaminate` /
+    `decontaminate_flags` calls with the same n (micro-batches, corpus
+    shards). The post-cap gram frame is localCheckpointed so reuse never
+    recomputes the benchmark subtree."""
     bgrams = _gram_hashes(benchmark, bench_id, bench_text, n, "bench_id")
     if max_gram_bench_docs is not None:
         bgrams = _drop_heavy(bgrams, bgrams, max_gram_bench_docs)
-        # bgrams is consumed by up to three subtrees (bloom build, join,
-        # and the cap's own count) — pin the post-cap frame once
-        bgrams = bgrams.localCheckpoint(eager=True)
+    # consumed by up to three subtrees (bloom build, join, cap count) and
+    # by every reuse — pin the post-cap frame once
+    bgrams = bgrams.localCheckpoint(eager=True)
+    words = None
     if prune == "bloom":
         from ..functions import bloom
 
@@ -140,13 +144,68 @@ def decontaminate(
         words = bloom.bloom_words(
             bloom.bloom_build(bgrams, "gh", m_bits=bloom_m), bloom_m
         )
-        dgrams = bloom.bloom_prune(dgrams, words, "gh", m_bits=bloom_m)
-    elif prune == "semi":
-        dgrams = dgrams.join(bgrams.select("gh").distinct(), "gh", "leftsemi")
-    elif prune is not None:
+    elif prune not in ("semi", None):
         raise ValueError(f"unknown prune mode {prune!r}")
+    return PreparedBenchmark(bgrams, n, prune, words, bloom_m)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame | PreparedBenchmark,
+    n: int = DEFAULT_N,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    max_gram_bench_docs: int | None = DEFAULT_MAX_GRAM_BENCH_DOCS,
+    prune: str | None = "bloom",
+    bloom_m: int | None = None,
+) -> DataFrame:
+    """(doc_id, bench_id, n_collisions): for every corpus doc sharing at
+    least one token n-gram with a benchmark doc, the number of DISTINCT
+    shared n-grams. Any row here = contamination under the published
+    n-gram-collision protocol; downstream either drops the doc or excises
+    the overlapping span.
+
+    benchmark: the raw benchmark frame, or a `PreparedBenchmark` (from
+    `prepare_benchmark`) to amortize the benchmark-side work across many
+    calls — then bench_id/bench_text/max_gram_bench_docs/prune/bloom_m
+    are already baked in and ignored here; n must match the preparation.
+
+    prune: "bloom" (default) pre-filters the corpus gram stream against a
+    Bloom filter of the benchmark's grams (scan-side, no shuffle, exact —
+    FPs die in the join); "semi" uses an exact left-semi join instead
+    (equivalent output, pays the join for every corpus gram); None goes
+    straight to the join. bloom_m: filter size in bits; default sizes to
+    ~20 bits/gram (FP ≈ 1-2% at k=4), floor 2^13 — past the literal
+    ceiling the arrow engine engages automatically (bloom.bloom_prune).
+
+    max_gram_bench_docs: benchmark-side boilerplate cap (see module doc);
+    None disables (textbook protocol)."""
+    if isinstance(benchmark, PreparedBenchmark):
+        prep = benchmark
+        if n != prep.n:
+            raise ValueError(
+                f"n={n} differs from the PreparedBenchmark's n={prep.n}"
+            )
+    else:
+        prep = prepare_benchmark(
+            benchmark, n, bench_id, bench_text, max_gram_bench_docs,
+            prune, bloom_m,
+        )
+    dgrams = _gram_hashes(docs, doc_id, text, n, "doc_id")
+    if prep.bloom_words is not None:
+        from ..functions import bloom
+
+        dgrams = bloom.bloom_prune(
+            dgrams, prep.bloom_words, "gh", m_bits=prep.bloom_m
+        )
+    elif prep.prune == "semi":
+        dgrams = dgrams.join(
+            prep.bgrams.select("gh").distinct(), "gh", "leftsemi"
+        )
     return (
-        dgrams.join(bgrams, "gh")
+        dgrams.join(prep.bgrams, "gh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_collisions"))
     )
@@ -154,7 +213,7 @@ def decontaminate(
 
 def decontaminate_flags(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | PreparedBenchmark,
     n: int = DEFAULT_N,
     doc_id: str = "doc_id",
     text: str = "text",

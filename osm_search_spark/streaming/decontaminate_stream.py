@@ -32,17 +32,33 @@ def start_decontaminate_stream(
     table_dir: str,
     checkpoint_dir: str,
     n: int = 13,
+    batch_partitions: int | None = None,
     **decontaminate_kw,
 ):
     """writeStream.foreachBatch handle maintaining `table_dir` as the
     exactly-once (doc_id, contaminated, n_bench_matches) verdict table;
-    returns the StreamingQuery. `benchmark` is a static bounded dim."""
-    from ..operators.decontaminate import decontaminate_flags
+    returns the StreamingQuery. `benchmark` is a static bounded dim,
+    prepared ONCE up front (gram pass + boilerplate cap + Bloom build +
+    word collect) so each micro-batch pays only the corpus-side work —
+    without this the per-batch fixed cost is ~4 extra jobs and a
+    driver-side word collect of pure recomputation.
+
+    A micro-batch's partitioning is inherited from the SOURCE (one
+    arriving file = one partition regardless of size), so the CPU-heavy
+    gram pass would run near-serial on file-per-batch sources; each
+    batch is therefore repartitioned to `batch_partitions` (default:
+    defaultParallelism) before decontamination — one narrow local
+    shuffle per batch, pass 0 to disable."""
+    from ..operators.decontaminate import decontaminate_flags, prepare_benchmark
+
+    prep = prepare_benchmark(benchmark, n=n, **decontaminate_kw)
+    if batch_partitions is None:
+        batch_partitions = stream_df.sparkSession.sparkContext.defaultParallelism
 
     def merge_batch(committed: DataFrame | None, batch_df: DataFrame):
-        flags = decontaminate_flags(
-            batch_df, benchmark, n=n, **decontaminate_kw
-        )
+        if batch_partitions:
+            batch_df = batch_df.repartition(batch_partitions)
+        flags = decontaminate_flags(batch_df, prep, n=n)
         if committed is None:
             return flags
         return committed.unionByName(flags)
