@@ -978,6 +978,25 @@ def sql_gopher_quality() -> str:
     return f"select doc_id,\n       {cols}\nfrom documents"
 
 
+# Q12h4: exact substring SELF-dedup (Lee et al. 2022, span level) —
+# every token 13-gram occurring more than once in the corpus keeps only
+# its first occurrence (min (doc_id, position)); tokens covered by any
+# later occurrence are excised. Spark derives the owner via a gram-hash
+# groupBy min-struct + occurrence join (operators/dedup.dedup_spans);
+# the twin re-derives it independently via row_number over
+# (gh order by doc_id, i) — rn > 1 IS "non-first occurrence".
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.dedup import dedup_spans
+
+    return dedup_spans(_docs(spark, sf_dir), n=13)
+
+
+def sql_dedup_spans() -> str:
+    from osm_search_spark.operators.dedup import dedup_spans_sql
+
+    return dedup_spans_sql("documents", n=13)
+
+
 # Q14f: LM-perplexity quality filter (CCNet-style) — every document's
 # stupid-backoff log-probability under the corpus's own n-gram model
 # (ngram_lm.go:300-337 cascade over ngram_counts). Spark: one melted
@@ -2523,7 +2542,7 @@ def _round_number() -> int:
 
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
-_NEW_THIS_ROUND = ["perplexity_filter", "semantic_dedup"]
+_NEW_THIS_ROUND = ["dedup_spans", "perplexity_filter", "semantic_dedup"]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
 _TAIL_POOL_START = 45
@@ -2562,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "dedup_spans": q_dedup_spans,
         "perplexity_filter": q_perplexity_filter,
         "semantic_dedup": q_semantic_dedup,
         "dedup_lines": q_dedup_lines,
@@ -2636,6 +2656,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "dedup_spans": sql_dedup_spans(),
         "perplexity_filter": sql_perplexity_filter(),
         "semantic_dedup": sql_semantic_dedup(),
         "dedup_lines": sql_dedup_lines(),

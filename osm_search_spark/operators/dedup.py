@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, tokenize_simple
+from ..functions.text import char_shingles, ngrams, tokenize_simple
 
 
 
@@ -476,4 +476,173 @@ wfp as (
   from s
 )
 select distinct doc_id, fp from (select doc_id, unnest(wins) as fp from wfp)
+"""
+
+
+def dedup_spans(
+    docs: DataFrame,
+    n: int = 50,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, text_clean, n_tokens_removed): EXACT SUBSTRING self-dedup —
+    every token n-gram that occurs MORE THAN ONCE anywhere in the corpus
+    (another document, or a repeat inside the same document) keeps only
+    its FIRST occurrence (min (doc_id, position)); every token covered by
+    a non-first occurrence is excised and the rest of each document
+    survives in order. This is the span-level exact-substring protocol of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", dedup length 50 tokens) re-expressed as hash joins instead
+    of a suffix array.
+
+    text_clean is the NORMALIZED reconstruction (lowercased, single
+    spaces — the collision join's tokenizer); untouched docs get the
+    normalized identity with n_tokens_removed = 0. Docs shorter than n
+    tokens have no grams and pass through untouched.
+
+    Scale shape (100 TB): the positional gram stream (posexplode + one
+    md5 per gram — positions can't dedupe) is built ONCE and
+    localCheckpointed because two subtrees consume it (the
+    frequency/owner aggregate and the occurrence join); without the pin
+    Catalyst recomputes the whole md5 pass per subtree. The duplicate-
+    gram dim (count >= 2) is usually a tiny fraction of all grams, so
+    filtering it BEFORE the join shrinks the join's build side; the join
+    itself is a plain shuffled hash join on the 8-byte gram hash (AQE
+    skew-split handles boilerplate grams with huge occurrence counts).
+    The rebuild pass runs only on flagged docs behind a semi-join —
+    exactly the decontaminate_excise tail. Nothing is quadratic in the
+    corpus; total cost is two corpus-token-linear shuffles (the suffix
+    array's sort is the same asymptotics with a bigger constant)."""
+    from .decontaminate import _gram_hash
+
+    toks = tokenize_simple(F.col(text))
+    base = docs.select(F.col(doc_id).alias("doc_id"), toks.alias("_t"))
+    pos = base.select(
+        "doc_id", F.posexplode(ngrams("_t", n)).alias("_i0", "_g")
+    ).select(
+        "doc_id",
+        (F.col("_i0") + 1).alias("_i"),
+        _gram_hash(F.col("_g")).alias("gh"),
+    )
+    # two consumers (owner aggregate + occurrence join): pin the md5 pass
+    pos = pos.localCheckpoint(eager=True)
+    # canonical owner of each duplicated gram = first occurrence
+    dup = (
+        pos.groupBy("gh")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct("doc_id", "_i")).alias("_own"),
+        )
+        .filter(F.col("_cnt") >= 2)
+        .select("gh", "_own")
+    )
+    hits = (
+        pos.join(dup, "gh")
+        .filter(
+            (F.col("doc_id") != F.col("_own").getField("doc_id"))
+            | (F.col("_i") != F.col("_own").getField("_i"))
+        )
+        .select("doc_id", "_i")
+    )
+    covered = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias("_j"),
+    ).distinct()
+    # three consumers (flagged semi, rebuild anti-join, removed counts)
+    # would each re-run the dup join + explode: pin the (small) cover set
+    covered = covered.localCheckpoint(eager=True)
+    flagged = covered.select("doc_id").distinct()
+    dirty = base.join(flagged, "doc_id", "leftsemi")
+    tok_rows = dirty.select(
+        "doc_id", F.posexplode("_t").alias("_j0", "_tok")
+    ).select("doc_id", (F.col("_j0") + 1).alias("_j"), "_tok")
+    rebuilt = (
+        tok_rows.join(covered, ["doc_id", "_j"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_j", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("text_clean")
+        )
+    )
+    removed = covered.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_removed")
+    )
+    dirty_out = (
+        dirty.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        )
+    )
+    clean_out = base.join(flagged, "doc_id", "left_anti").select(
+        "doc_id",
+        F.concat_ws(" ", "_t").alias("text_clean"),
+        F.lit(0).cast("long").alias("n_tokens_removed"),
+    )
+    return dirty_out.unionByName(clean_out)
+
+
+def dedup_spans_sql(docs_rel: str, n: int = 50) -> str:
+    """DuckDB twin of dedup_spans over a relation with (doc_id, text).
+    Owner/occurrence logic via row_number over (gh order by doc_id, i):
+    rn > 1 is exactly "a non-first occurrence of a duplicated gram"."""
+    from ..functions.text import tokenize_simple_sql
+
+    gh = (
+        f"('0x' || substr(md5(array_to_string(tk[p:p+{n - 1}], ' ')), 1, 15))"
+        "::bigint"
+    )
+    return f"""
+with dtk as (select doc_id, {tokenize_simple_sql('text')} as tk from {docs_rel}),
+pos as (
+  select doc_id,
+         unnest(generate_series(1, len(tk) - {n - 1})) as i,
+         unnest([{gh} for p in generate_series(1, len(tk) - {n - 1})]) as gh
+  from dtk where len(tk) >= {n}
+),
+hits as (
+  select doc_id, i from (
+    select doc_id, i,
+           row_number() over (partition by gh order by doc_id, i) as rn
+    from pos)
+  where rn > 1
+),
+covered as (
+  select distinct * from (
+    select doc_id, unnest(generate_series(i, i + {n - 1})) as j from hits)
+),
+flagged as (select distinct doc_id from covered),
+tokrows as (
+  select d.doc_id,
+         unnest(tk) as tok,
+         unnest(generate_series(1, len(tk))) as j
+  from dtk d join flagged using (doc_id)
+),
+rebuilt as (
+  select t.doc_id,
+         array_to_string(list(t.tok order by t.j), ' ') as text_clean
+  from tokrows t left join covered c on c.doc_id = t.doc_id and c.j = t.j
+  where c.doc_id is null
+  group by t.doc_id
+),
+removed as (select doc_id, count(*) as n_removed from covered group by 1)
+select f.doc_id,
+       coalesce(r.text_clean, '') as text_clean,
+       coalesce(m.n_removed, 0) as n_tokens_removed
+from flagged f
+left join rebuilt r using (doc_id)
+left join removed m using (doc_id)
+union all
+select d.doc_id,
+       coalesce(array_to_string(d.tk, ' '), '') as text_clean,
+       0 as n_tokens_removed
+from dtk d anti join flagged using (doc_id)
 """

@@ -154,3 +154,58 @@ def test_excision_overlapping_matches_cover_union(spark):
     ]
     # the union of the three overlapping grams is the whole 15-token run
     assert clean == "aa bb cc dd" and removed == 15
+
+
+class TestDedupSpans:
+    """Exact substring self-dedup (Lee et al. 2022 span protocol)."""
+
+    def _run(self, spark, rows, n):
+        from osm_search_spark.operators.dedup import dedup_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+            for r in dedup_spans(df, n=n).collect()
+        }
+
+    def test_cross_doc_copy_excised_first_kept(self, spark):
+        run = "a b c d e"
+        rows = [
+            (1, f"intro {run} outro"),
+            (2, f"other words then {run} tail bit"),
+            (3, "totally unrelated text here"),
+        ]
+        got = self._run(spark, rows, n=5)
+        # doc 1 owns the first occurrence: untouched (normalized)
+        assert got[1] == (f"intro {run} outro", 0)
+        # doc 2's copy excised: exactly the 5 covered tokens removed
+        assert got[2] == ("other words then tail bit", 5)
+        assert got[3] == ("totally unrelated text here", 0)
+
+    def test_within_doc_repeat_excised(self, spark):
+        run = "p q r s"
+        rows = [(7, f"{run} filler words {run}")]
+        got = self._run(spark, rows, n=4)
+        assert got[7] == (f"{run} filler words", 4)
+
+    def test_overlapping_duplicate_grams_union_cover(self, spark):
+        # doc 2 copies a 6-token run; with n=5 the two overlapping dup
+        # 5-grams cover the union (6 tokens), not 10
+        run = "u v w x y z"
+        rows = [(1, f"{run} first"), (2, f"copy of {run} here")]
+        got = self._run(spark, rows, n=5)
+        assert got[2] == ("copy of here", 6)
+        assert got[1] == (f"{run} first", 0)
+
+    def test_short_doc_passes_through(self, spark):
+        rows = [(1, "Too short"), (2, "too short")]
+        got = self._run(spark, rows, n=5)
+        # below n tokens: no grams, normalized identity
+        assert got[1] == ("too short", 0)
+        assert got[2] == ("too short", 0)
+
+    def test_fully_duplicated_doc_emptied(self, spark):
+        t = "m n o p q"
+        got = self._run(spark, [(1, t), (2, t)], n=5)
+        assert got[1] == (t, 0)
+        assert got[2] == ("", 5)
