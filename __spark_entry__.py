@@ -978,6 +978,54 @@ def sql_gopher_quality() -> str:
     return f"select doc_id,\n       {cols}\nfrom documents"
 
 
+# Q5g: geohash cell keys (public base-32 spec) — every derived point's
+# precision-9 geohash, its integer lat/lon codes, and the decoded cell
+# center. Float parity: quantization and decode-center run through ONE
+# shared SQL text on both engines (functions/geohash.py); the interleave
+# and alphabet lookup are exact integer/string ops, re-derived
+# independently in the twin via >>/&/substr.
+def q_geohash_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import geohash as gh
+
+    p = 9
+    pts = synth.derive_points(spark, sf_dir)
+    codes = pts.select(
+        "point_id",
+        F.expr(gh.lat_code_sql("lat", p)).alias("lat_code"),
+        F.expr(gh.lon_code_sql("lon", p)).alias("lon_code"),
+    )
+    lat_sql, lon_sql = gh.decode_center_sql("lat_code", "lon_code", p)
+    return codes.select(
+        "point_id",
+        gh.geohash_col(F.col("lat_code"), F.col("lon_code"), p).alias("gh"),
+        "lat_code",
+        "lon_code",
+        F.expr(lat_sql).alias("cell_lat"),
+        F.expr(lon_sql).alias("cell_lon"),
+    )
+
+
+def sql_geohash_points() -> str:
+    from osm_search_spark.functions import geohash as gh
+
+    p = 9
+    lat_sql, lon_sql = gh.decode_center_sql("lat_code", "lon_code", p)
+    return f"""
+with pts as ({synth.points_sql()}),
+codes as (
+  select point_id, lat, lon,
+         {gh.lat_code_sql('lat', p)} as lat_code,
+         {gh.lon_code_sql('lon', p)} as lon_code
+  from pts)
+select point_id,
+       {gh.geohash_sql('lat', 'lon', p)} as gh,
+       lat_code, lon_code,
+       {lat_sql} as cell_lat,
+       {lon_sql} as cell_lon
+from codes
+"""
+
+
 # Q12h4: exact substring SELF-dedup (Lee et al. 2022, span level) —
 # every token 13-gram occurring more than once in the corpus keeps only
 # its first occurrence (min (doc_id, position)); tokens covered by any
@@ -2542,7 +2590,9 @@ def _round_number() -> int:
 
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
-_NEW_THIS_ROUND = ["dedup_spans", "perplexity_filter", "semantic_dedup"]
+_NEW_THIS_ROUND = [
+    "geohash_points", "dedup_spans", "perplexity_filter", "semantic_dedup",
+]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
 _TAIL_POOL_START = 45
@@ -2581,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "geohash_points": q_geohash_points,
         "dedup_spans": q_dedup_spans,
         "perplexity_filter": q_perplexity_filter,
         "semantic_dedup": q_semantic_dedup,
@@ -2656,6 +2707,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "geohash_points": sql_geohash_points(),
         "dedup_spans": sql_dedup_spans(),
         "perplexity_filter": sql_perplexity_filter(),
         "semantic_dedup": sql_semantic_dedup(),
