@@ -978,6 +978,30 @@ def sql_gopher_quality() -> str:
     return f"select doc_id,\n       {cols}\nfrom documents"
 
 
+# Q12e4: weighted source mixing (the Pile/LLaMA corpus recipe) — each doc
+# emitted floor(w) times plus a deterministic fractional extra copy by
+# salted-md5 bucket of (source, id); w=0 drops the source. Exercises
+# integer+fraction (2.5), pure fraction (0.4), zero, exact 1, and the
+# default weight. Twin: one unnest(generate_series) over the same CASE +
+# bucket math (empty series on the DuckDB side needs no guard).
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.curation import mix_sources
+
+    w = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 1.0}
+    return mix_sources(_docs(spark, sf_dir), w, default_weight=0.75).select(
+        "doc_id", "source", "lang", "copy_idx"
+    )
+
+
+def sql_mix_sources() -> str:
+    from osm_search_spark.operators.curation import mix_sources_sql
+
+    w = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 1.0}
+    return mix_sources_sql(
+        "documents", w, cols="doc_id, source, lang", default_weight=0.75
+    )
+
+
 # Q5g: geohash cell keys (public base-32 spec) — every derived point's
 # precision-9 geohash, its integer lat/lon codes, and the decoded cell
 # center. Float parity: quantization and decode-center run through ONE
@@ -2591,7 +2615,8 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "geohash_points", "dedup_spans", "perplexity_filter", "semantic_dedup",
+    "mix_sources", "geohash_points", "dedup_spans", "perplexity_filter",
+    "semantic_dedup",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
@@ -2631,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "mix_sources": q_mix_sources,
         "geohash_points": q_geohash_points,
         "dedup_spans": q_dedup_spans,
         "perplexity_filter": q_perplexity_filter,
@@ -2707,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "mix_sources": sql_mix_sources(),
         "geohash_points": sql_geohash_points(),
         "dedup_spans": sql_dedup_spans(),
         "perplexity_filter": sql_perplexity_filter(),

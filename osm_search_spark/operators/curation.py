@@ -365,3 +365,92 @@ def perplexity_filter(
         return scored
     cut = scored.approxQuantile("avg_log_prob", [keep_quantile], 0.001)[0]
     return scored.withColumn("keep", F.col("avg_log_prob") > F.lit(cut))
+
+
+def _weight_parts(w: float) -> tuple[int, int]:
+    """(full copies, fractional bucket cut) for a mixing weight."""
+    if w < 0:
+        raise ValueError(f"mixing weight must be >= 0, got {w}")
+    nfull = int(w)
+    return nfull, round((w - nfull) * SPLIT_BUCKETS)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted source mixing (the Pile/LLaMA-style corpus recipe): each
+    document is emitted floor(w) times plus one more with probability
+    frac(w), where w is its source's mixing weight (epochs-per-pass).
+    Adds `copy_idx` (1..n_copies); w = 0 drops the source entirely.
+
+    Deterministic and reprocessing-stable: the fractional keep hashes
+    (salt, source, id) through the same salted-md5 buckets as
+    assign_split, so re-running on a grown corpus never changes which
+    old documents get the extra copy — and the per-source hash keeps the
+    fractional picks decorrelated across sources. Pure Column: a bounded
+    literal CASE over the weight dict (sources are a small dim by
+    construction — the CLAUDE.md bounded-literal-map rule), one explode;
+    no shuffle, no RNG. The sequence is guarded for n_copies = 0 (Spark's
+    sequence(1, 0) is DESCENDING, round-5 rule)."""
+    src = F.col(source_col).cast("string")
+    h = F.md5(
+        F.concat(
+            F.lit(salt + ":"), src, F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % SPLIT_BUCKETS
+
+    dn, dcut = _weight_parts(default_weight)
+    nfull_expr: Column = F.lit(dn)
+    cut_expr: Column = F.lit(dcut)
+    for s, w in sorted(weights.items()):
+        nf, cut = _weight_parts(w)
+        nfull_expr = F.when(src == s, nf).otherwise(nfull_expr)
+        cut_expr = F.when(src == s, cut).otherwise(cut_expr)
+    n_copies = (
+        nfull_expr + F.when(bucket < cut_expr, 1).otherwise(0)
+    ).cast("long")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn("copy_idx", F.explode(copies))
+
+
+def mix_sources_sql(
+    docs_rel: str,
+    weights: dict[str, float],
+    cols: str = "doc_id, source",
+    source_expr: str = "source",
+    id_expr: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> str:
+    """DuckDB twin of mix_sources (generate_series(1, 0) is empty in
+    DuckDB, so no guard is needed on that side)."""
+    dn, dcut = _weight_parts(default_weight)
+
+    def case(f):
+        arms = " ".join(
+            f"when '{s}' then {f(_weight_parts(w))}"
+            for s, w in sorted(weights.items())
+        )
+        return f"(case {source_expr} {arms} else {f((dn, dcut))} end)"
+
+    bucket = (
+        f"(('0x' || substr(md5('{salt}:' || {source_expr} || ':' || "
+        f"cast({id_expr} as varchar)), 1, 8))::bigint % {SPLIT_BUCKETS})"
+    )
+    return f"""
+select {cols}, copy_idx from (
+  select {cols},
+         unnest(generate_series(1,
+           {case(lambda p: p[0])}
+           + case when {bucket} < {case(lambda p: p[1])} then 1 else 0 end
+         )) as copy_idx
+  from {docs_rel})
+"""

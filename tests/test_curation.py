@@ -271,3 +271,69 @@ def test_perplexity_filter_empty_and_single_token_docs(spark):
     assert rows[3]["n_scored"] == 3
     for r in rows.values():
         assert r["log_prob"] is not None
+
+
+class TestMixSources:
+    def _df(self, spark, n=400):
+        rows = [
+            (i, f"src{i % 4}", f"text {i}") for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_integer_weight_exact_copies(self, spark):
+        from osm_search_spark.operators.curation import mix_sources
+
+        out = mix_sources(self._df(spark), {"src0": 3.0}, default_weight=1.0)
+        per = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per["src0"] == 300  # 100 docs x 3 copies
+        assert per["src1"] == per["src2"] == per["src3"] == 100
+        idx = out.filter(F.col("source") == "src0").groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("copy_idx")).alias("c")
+        )
+        assert all(r["c"] == [1, 2, 3] for r in idx.collect())
+
+    def test_zero_weight_drops_source(self, spark):
+        from osm_search_spark.operators.curation import mix_sources
+
+        out = mix_sources(self._df(spark), {"src2": 0.0})
+        assert out.filter(F.col("source") == "src2").count() == 0
+        assert out.filter(F.col("source") == "src1").count() == 100
+
+    def test_fractional_weight_rate_and_stability(self, spark):
+        from osm_search_spark.operators.curation import mix_sources
+
+        df = self._df(spark, 2000)
+        out = mix_sources(df, {"src0": 0.4}).filter(F.col("source") == "src0")
+        n = out.count()
+        assert 150 <= n <= 250  # ~0.4 of 500, md5-uniform
+        # reprocessing stability: the grown corpus keeps the same picks
+        grown = mix_sources(self._df(spark, 4000), {"src0": 0.4}).filter(
+            (F.col("source") == "src0") & (F.col("doc_id") < 2000)
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in grown.collect()
+        )
+
+    def test_mixed_weight_fraction_plus_full(self, spark):
+        from osm_search_spark.operators.curation import mix_sources
+
+        out = mix_sources(self._df(spark, 2000), {"src0": 2.5}).filter(
+            F.col("source") == "src0"
+        )
+        per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id")
+                   .agg(F.count("*").alias("n")).collect()}
+        assert set(per_doc.values()) <= {2, 3}
+        assert len(per_doc) == 500  # every doc keeps >= 2 copies
+        n3 = sum(1 for v in per_doc.values() if v == 3)
+        assert 180 <= n3 <= 320  # ~half get the fractional third copy
+
+    def test_negative_weight_rejected(self, spark):
+        import pytest
+
+        from osm_search_spark.operators.curation import mix_sources
+
+        with pytest.raises(ValueError):
+            mix_sources(self._df(spark), {"src0": -1.0})
