@@ -978,6 +978,74 @@ def sql_gopher_quality() -> str:
     return f"select doc_id,\n       {cols}\nfrom documents"
 
 
+# Q5h: Douglas-Peucker ring simplification (the tile-pipeline pre-step)
+# over deterministic jagged fixture rings. The Spark side runs the
+# distributed Arrow kernel and explodes the kept vertices; the twin
+# embeds the DRIVER-side kernel's output as VALUES (the images-oracle
+# recipe) — kept vertices are exact input-float pass-throughs, so the
+# compare is bit-exact. The kernel itself is verified independently in
+# tests/test_simplify.py against a recursive reference implementation.
+def _simplify_fixture_rings() -> list[tuple[int, list[float], list[float]]]:
+    import math
+
+    rows = []
+    for pid in range(8):
+        n = 36 + 6 * pid
+        lat, lon = [], []
+        for k in range(n):
+            ang = 2 * math.pi * k / n
+            r = 0.12 + 0.025 * ((k * 7 + pid) % 5)
+            lat.append(-7.7 + r * math.sin(ang))
+            lon.append(110.5 + r * math.cos(ang))
+        lat.append(lat[0])
+        lon.append(lon[0])
+        rows.append((pid, lat, lon))
+    return rows
+
+
+def q_simplify_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.simplify import simplify_polygons
+
+    df = spark.createDataFrame(
+        _simplify_fixture_rings(),
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+    )
+    out = simplify_polygons(df, 0.02)
+    ex = out.select(
+        "polygon_id",
+        "n_points_before",
+        "n_points_after",
+        F.posexplode("ring_lat").alias("seq0", "lat"),
+        "ring_lon",
+    )
+    return ex.select(
+        "polygon_id",
+        "n_points_before",
+        "n_points_after",
+        (F.col("seq0") + 1).alias("seq"),
+        "lat",
+        F.element_at("ring_lon", F.col("seq0") + 1).alias("lon"),
+    )
+
+
+def sql_simplify_rings() -> str:
+    from osm_search_spark.operators.simplify import simplify_rings_py
+
+    rows = []
+    for pid, lat, lon in _simplify_fixture_rings():
+        slat, slon = simplify_rings_py(lat, lon, 0.02)
+        for i, (a, b) in enumerate(zip(slat, slon)):
+            rows.append(
+                f"(cast({pid} as bigint), {len(lat)}, {len(slat)}, "
+                f"{i + 1}, {synth.dlit(a)}, {synth.dlit(b)})"
+            )
+    return (
+        "select * from (values "
+        + ", ".join(rows)
+        + ") t(polygon_id, n_points_before, n_points_after, seq, lat, lon)"
+    )
+
+
 # Q12e4: weighted source mixing (the Pile/LLaMA corpus recipe) — each doc
 # emitted floor(w) times plus a deterministic fractional extra copy by
 # salted-md5 bucket of (source, id); w=0 drops the source. Exercises
@@ -2615,8 +2683,8 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "mix_sources", "geohash_points", "dedup_spans", "perplexity_filter",
-    "semantic_dedup",
+    "simplify_rings", "mix_sources", "geohash_points", "dedup_spans",
+    "perplexity_filter", "semantic_dedup",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
@@ -2656,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "simplify_rings": q_simplify_rings,
         "mix_sources": q_mix_sources,
         "geohash_points": q_geohash_points,
         "dedup_spans": q_dedup_spans,
@@ -2733,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "simplify_rings": sql_simplify_rings(),
         "mix_sources": sql_mix_sources(),
         "geohash_points": sql_geohash_points(),
         "dedup_spans": sql_dedup_spans(),
