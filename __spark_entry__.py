@@ -1046,6 +1046,119 @@ def sql_simplify_rings() -> str:
     )
 
 
+# Q5i: tile clipping (Sutherland-Hodgman against cell bboxes) — every
+# fixture polygon cut to its res-9 cells: FULL cells as pure-Column
+# rectangles, PARTIAL cells through the Arrow kernel; output explodes
+# the clipped outer-ring vertices (+ per-cell hole count). Twin: the
+# whole pipeline re-run DRIVER-side (classified_cover_rows + the
+# same kernel) embedded as VALUES — both sides bit-exact since FULL
+# rectangles use identical double arithmetic and PARTIAL vertices come
+# from one kernel. The kernel itself is verified independently in
+# tests/test_clip.py (area conservation, even-odd membership, identity).
+def _clip_fixture_polys() -> list[dict]:
+    import math
+
+    polys = []
+    for pid in range(4):
+        n = 36 + 8 * pid
+        lat, lon = [], []
+        for k in range(n):
+            ang = 2 * math.pi * k / n
+            r = 0.13 + 0.028 * ((k * 5 + pid) % 4)
+            lat.append(-7.68 + r * math.sin(ang))
+            lon.append(110.52 + r * math.cos(ang))
+        lat.append(lat[0])
+        lon.append(lon[0])
+        polys.append(
+            dict(polygon_id=pid, ring_lat=lat, ring_lon=lon,
+                 holes_lat=None, holes_lon=None)
+        )
+    polys.append(
+        dict(polygon_id=4,
+             ring_lat=[-7.92, -7.92, -7.31, -7.31, -7.92],
+             ring_lon=[110.21, 110.93, 110.93, 110.21, 110.21],
+             holes_lat=None, holes_lon=None)
+    )
+    ring = polys[0]
+    h_lat = [(-7.68 + (v + 7.68) * 0.45) for v in ring["ring_lat"]]
+    h_lon = [(110.52 + (v - 110.52) * 0.45) for v in ring["ring_lon"]]
+    polys.append(
+        dict(polygon_id=5, ring_lat=ring["ring_lat"], ring_lon=ring["ring_lon"],
+             holes_lat=[h_lat], holes_lon=[h_lon])
+    )
+    return polys
+
+
+_CLIP_RES = 9
+
+
+def q_clip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.clip import clip_to_tiles
+
+    df = spark.createDataFrame(
+        [(p["polygon_id"], p["ring_lat"], p["ring_lon"],
+          p["holes_lat"], p["holes_lon"]) for p in _clip_fixture_polys()],
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>, "
+        "holes_lat array<array<double>>, holes_lon array<array<double>>",
+    )
+    out = clip_to_tiles(df, res=_CLIP_RES)
+    ex = out.select(
+        "polygon_id",
+        "cell_id",
+        F.col("full").alias("is_full"),
+        F.size("holes_lat").alias("n_holes"),
+        F.posexplode("ring_lat").alias("seq0", "lat"),
+        "ring_lon",
+    )
+    return ex.select(
+        "polygon_id",
+        "cell_id",
+        "is_full",
+        "n_holes",
+        (F.col("seq0") + 1).alias("seq"),
+        "lat",
+        F.element_at("ring_lon", F.col("seq0") + 1).alias("lon"),
+    )
+
+
+def sql_clip_tiles() -> str:
+    from osm_search_spark.operators.clip import (
+        _cell_bounds,
+        clip_polygon_cell_py,
+    )
+    from osm_search_spark.operators.spatial_join import classified_cover_rows
+
+    polys = _clip_fixture_polys()
+    by_id = {p["polygon_id"]: p for p in polys}
+    rows = []
+    for pid, cid, full in classified_cover_rows(polys, _CLIP_RES):
+        p = by_id[pid]
+        if full:
+            minlat, minlon, maxlat, maxlon = _cell_bounds(cid, _CLIP_RES)
+            rlat = [minlat, minlat, maxlat, maxlat, minlat]
+            rlon = [minlon, maxlon, maxlon, minlon, minlon]
+            nh = 0
+        else:
+            got = clip_polygon_cell_py(
+                p["ring_lat"], p["ring_lon"], cid, _CLIP_RES,
+                p["holes_lat"], p["holes_lon"],
+            )
+            if got is None:
+                continue
+            rlat, rlon, hlat, _ = got
+            nh = len(hlat)
+        for i, (a, b) in enumerate(zip(rlat, rlon)):
+            rows.append(
+                f"(cast({pid} as bigint), cast({cid} as bigint), {str(full).lower()}, "
+                f"{nh}, {i + 1}, {synth.dlit(a)}, {synth.dlit(b)})"
+            )
+    return (
+        "select * from (values "
+        + ", ".join(rows)
+        + ") t(polygon_id, cell_id, is_full, n_holes, seq, lat, lon)"
+    )
+
+
 # Q12e4: weighted source mixing (the Pile/LLaMA corpus recipe) — each doc
 # emitted floor(w) times plus a deterministic fractional extra copy by
 # salted-md5 bucket of (source, id); w=0 drops the source. Exercises
@@ -2683,8 +2796,8 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "simplify_rings", "mix_sources", "geohash_points", "dedup_spans",
-    "perplexity_filter", "semantic_dedup",
+    "clip_tiles", "simplify_rings", "mix_sources", "geohash_points",
+    "dedup_spans", "perplexity_filter", "semantic_dedup",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
@@ -2724,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "clip_tiles": q_clip_tiles,
         "simplify_rings": q_simplify_rings,
         "mix_sources": q_mix_sources,
         "geohash_points": q_geohash_points,
@@ -2802,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "clip_tiles": sql_clip_tiles(),
         "simplify_rings": sql_simplify_rings(),
         "mix_sources": sql_mix_sources(),
         "geohash_points": sql_geohash_points(),
