@@ -78,3 +78,28 @@ def write_tiles(
         .partitionBy("tile_coarse")
         .parquet(path)
     )
+
+
+def write_vector_tiles(
+    clipped: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    coarse_partition_res: int = 8,
+) -> None:
+    """Sink for clip.clip_to_tiles output (vector tiles): range-partition
+    on cell_id (tiles cluster into few files, parquet min/max stats stay
+    tight for pruning), directory-partition by a coarse parent cell —
+    same layout contract as write_tiles, geometry columns instead of
+    point rows. Clipped geometries are bounded per (polygon, cell)
+    (≤ ring vertices + 4 per Sutherland-Hodgman pass), so no salting is
+    needed: a cell's row count is its polygon count, already bounded by
+    the cover."""
+    part = clipped.withColumn(
+        "tile_coarse", C.cell_to_parent("cell_id", coarse_partition_res)
+    ).repartitionByRange("cell_id")
+    (
+        part.sortWithinPartitions("cell_id")
+        .write.mode(mode)
+        .partitionBy("tile_coarse")
+        .parquet(path)
+    )

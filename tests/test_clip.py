@@ -151,3 +151,30 @@ def test_edge_touch_only_cells_dropped():
         lat, lon, int(10 * C.RES_BITS_SHIFT + 5 * C.IX_SHIFT + 7), 10
     )
     assert got is None
+
+
+def test_vector_tile_pipeline_drive(spark, tmp_path):
+    """simplify -> clip -> write_vector_tiles end-to-end: partitioned
+    layout on disk, area conserved through the whole chain at the
+    simplified polygon's area."""
+    from osm_search_spark.operators.clip import clip_to_tiles
+    from osm_search_spark.operators.simplify import (
+        simplify_polygons,
+        simplify_rings_py,
+    )
+    from osm_search_spark.operators.tiling import write_vector_tiles
+
+    lat, lon = _jagged_ring()
+    df = spark.createDataFrame(
+        [(1, lat, lon)],
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+    )
+    simp = simplify_polygons(df, 0.01).drop("n_points_before", "n_points_after")
+    out = tmp_path / "vtiles"
+    write_vector_tiles(clip_to_tiles(simp, res=10), str(out))
+    assert any(p.name.startswith("tile_coarse=") for p in out.iterdir())
+    back = spark.read.parquet(str(out))
+    rows = [r.asDict() for r in back.collect()]
+    slat, slon = simplify_rings_py(lat, lon, 0.01)
+    total = sum(_shoelace(r["ring_lat"], r["ring_lon"]) for r in rows)
+    assert total == pytest.approx(_shoelace(slat, slon), rel=1e-9)

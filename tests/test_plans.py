@@ -173,3 +173,35 @@ def test_spatial_join_holes_stay_codegen(spark):
     plan = plan_str(refine_pip_expr(cand, polys))
     assert "MapInPandas" not in plan and "PythonUDF" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mix_sources_has_no_shuffle(spark):
+    """Source mixing is pure Column work (literal CASE + hash + explode):
+    the plan must contain NO Exchange and no Python evaluation."""
+    from osm_search_spark.operators.curation import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", "t") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    plan = plan_str(mix_sources(df, {"src0": 2.5, "src1": 0.4}))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_clip_full_path_is_python_free(spark):
+    """FULL cover cells take the pure-Column rectangle branch: the FULL
+    subtree must not evaluate Python; only the PARTIAL branch carries the
+    Arrow kernel (exactly one Python-eval site in the union)."""
+    from osm_search_spark.operators.clip import clip_to_tiles
+
+    lat = [-7.9, -7.9, -7.3, -7.3, -7.9]
+    lon = [110.2, 110.9, 110.9, 110.2, 110.2]
+    df = spark.createDataFrame(
+        [(1, lat, lon)],
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+    )
+    plan = plan_str(clip_to_tiles(df, res=12))
+    # the clip itself adds exactly ONE Arrow/Python eval (the PARTIAL
+    # kernel); the cover's classify pass is checkpointed away
+    assert plan.count("PythonMapInArrow") + plan.count("MapInPandas") == 1, plan
