@@ -978,6 +978,65 @@ def sql_gopher_quality() -> str:
     return f"select doc_id,\n       {cols}\nfrom documents"
 
 
+# Q5j: geodesic point buffer (ST_Buffer-for-points) — circular fences
+# derived from the point set converted to closed CCW 24-gon rings
+# (functions/geodesy.buffer_ring via geofence.fence_polygons), exploded
+# per vertex. Trig is libm, so both sides round to 6dp (the float-parity
+# rule); the twin re-derives every vertex through the same published
+# destination-point formula with a two-unnest generate_series zip.
+_FENCE_N_VERTICES = 24
+
+
+def q_fence_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.geofence import fence_polygons
+
+    pts = synth.derive_points(spark, sf_dir)
+    fences = pts.filter(F.col("point_id") % 50 == 0).select(
+        F.col("point_id").alias("fence_id"),
+        "lat",
+        "lon",
+        (0.5 + (F.col("point_id") % 7).cast("double") * 0.25).alias("radius_km"),
+    )
+    out = fence_polygons(fences, n_vertices=_FENCE_N_VERTICES)
+    ex = out.select(
+        "fence_id",
+        "radius_km",
+        F.posexplode("ring_lat").alias("seq0", "vlat"),
+        "ring_lon",
+    )
+    return ex.select(
+        "fence_id",
+        "radius_km",
+        (F.col("seq0") + 1).cast("long").alias("seq"),
+        F.round("vlat", 6).alias("vlat"),
+        F.round(F.element_at("ring_lon", F.col("seq0") + 1), 6).alias("vlon"),
+    )
+
+
+def sql_fence_rings() -> str:
+    from osm_search_spark.functions.geodesy import buffer_ring_vertex_sql
+
+    n = _FENCE_N_VERTICES
+    vlat, vlon = buffer_ring_vertex_sql("lat", "lon", "radius_km", "k", n)
+    return f"""
+with pts as ({synth.points_sql()}),
+fences as (
+  select point_id as fence_id, lat, lon,
+         0.5 + cast(point_id % 7 as double) * 0.25 as radius_km
+  from pts where point_id % 50 = 0
+),
+verts as (
+  select fence_id, radius_km, lat, lon,
+         unnest(generate_series(0, {n})) as k
+  from fences
+)
+select fence_id, radius_km, k + 1 as seq,
+       round({vlat}, 6) as vlat,
+       round({vlon}, 6) as vlon
+from verts
+"""
+
+
 # Q5h: Douglas-Peucker ring simplification (the tile-pipeline pre-step)
 # over deterministic jagged fixture rings. The Spark side runs the
 # distributed Arrow kernel and explodes the kept vertices; the twin
@@ -2796,8 +2855,8 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "clip_tiles", "simplify_rings", "mix_sources", "geohash_points",
-    "dedup_spans", "perplexity_filter", "semantic_dedup",
+    "fence_rings", "clip_tiles", "simplify_rings", "mix_sources",
+    "geohash_points", "dedup_spans", "perplexity_filter", "semantic_dedup",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
@@ -2837,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "fence_rings": q_fence_rings,
         "clip_tiles": q_clip_tiles,
         "simplify_rings": q_simplify_rings,
         "mix_sources": q_mix_sources,
@@ -2916,6 +2976,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "fence_rings": sql_fence_rings(),
         "clip_tiles": sql_clip_tiles(),
         "simplify_rings": sql_simplify_rings(),
         "mix_sources": sql_mix_sources(),

@@ -102,3 +102,54 @@ def destination_point(
 
     dlon = ((dlon + 3 * math.pi) % (2 * math.pi)) - math.pi
     return F.struct(F.degrees(dlat).alias("lat"), F.degrees(dlon).alias("lon"))
+
+
+def buffer_ring(
+    lat: Column | str,
+    lon: Column | str,
+    radius_km: Column | float,
+    n_vertices: int = 32,
+) -> Column:
+    """Geodesic point buffer (ST_Buffer for points): a closed CCW
+    `n_vertices`-gon approximating the radius circle, as
+    array<struct<lat, lon>> built from `destination_point` at evenly
+    spaced bearings — pure Column, per-row radius allowed. Closure is
+    exact (vertex n recomputes vertex 0's bearing). Bridges circles
+    (geofences) into the polygon stack (PIP / overlap / clip / raster).
+    Vertex error vs the true circle is radius * (1 - cos(pi/n)): at n=32,
+    ~0.5% of the radius."""
+    r = radius_km if isinstance(radius_km, Column) else F.lit(float(radius_km))
+    n = n_vertices
+    step = 360.0 / n
+
+    def vertex(k):
+        b = ((F.lit(n) - (k % n)) % n).cast("double") * F.lit(step)
+        return destination_point(_col(lat), _col(lon), b, r)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n)), vertex)
+
+
+def buffer_ring_vertex_sql(
+    lat: str, lon: str, radius_km: str, k: str, n_vertices: int
+) -> tuple[str, str]:
+    """DuckDB twin: (lat, lon) SQL texts for buffer vertex `k` (0..n) —
+    same formula, same bearing convention. Combine with a two-unnest
+    generate_series zip for the per-vertex rows."""
+    from ..sources.synth import dlit
+
+    step = 360.0 / n_vertices
+    b = f"((({n_vertices} - ({k} % {n_vertices})) % {n_vertices}) * {dlit(step)})"
+    la = f"radians({lat})"
+    ang = f"({radius_km} / {dlit(EARTH_RADIUS_KM)})"
+    br = f"radians({b})"
+    dlat = (
+        f"asin(sin({la}) * cos({ang}) + cos({la}) * sin({ang}) * cos({br}))"
+    )
+    dlon = (
+        f"(radians({lon}) + atan2(sin({br}) * sin({ang}) * cos({la}), "
+        f"cos({ang}) - sin({la}) * sin({dlat})))"
+    )
+    import math
+
+    wrapped = f"((({dlon}) + {dlit(3 * math.pi)}) % {dlit(2 * math.pi)} - {dlit(math.pi)})"
+    return f"degrees({dlat})", f"degrees({wrapped})"

@@ -172,3 +172,33 @@ def _geofence_status_knn(
         .join(fz, "fence_name")
     )
     return _status_frame(j, entity, seq)
+
+
+def fence_polygons(
+    fences: DataFrame,
+    n_vertices: int = 32,
+    lat: str = "lat",
+    lon: str = "lon",
+    radius_km: str = "radius_km",
+) -> DataFrame:
+    """Convert circular fences to polygon rings (geodesic point buffer,
+    ST_Buffer-for-points): adds ring_lat/ring_lon — a closed CCW
+    n_vertices-gon per fence — so circles compose with the polygon stack
+    (PIP spatial join, overlap join, clip_to_tiles, rasterize). Pure
+    Column (one transform over a bounded sequence + two stacked
+    projections to split the struct array); the inscribed-polygon radius
+    undershoots the true circle by radius*(1-cos(pi/n)) — callers needing
+    a cover (never-miss) semantics should inflate radius_km by
+    1/cos(pi/n) first."""
+    from ..functions.geodesy import buffer_ring
+
+    ring = buffer_ring(lat, lon, F.col(radius_km), n_vertices)
+    # stacked projections: build the struct array ONCE, split in a second
+    # select (the spatial_join refine discipline — inlining the transform
+    # into both array projections would evaluate it twice)
+    with_ring = fences.withColumn("_ring", ring)
+    return with_ring.select(
+        *fences.columns,
+        F.transform("_ring", lambda s: s["lat"]).alias("ring_lat"),
+        F.transform("_ring", lambda s: s["lon"]).alias("ring_lon"),
+    )

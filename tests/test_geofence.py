@@ -1,6 +1,9 @@
 """Geofence status matrix vs the reference README example and
 pkg/geofence/geofence.go:97-116 transition semantics."""
 
+import pytest
+from pyspark.sql import functions as F
+
 from osm_search_spark.operators.geofence import geofence_status
 from osm_search_spark.sources import synth
 
@@ -89,3 +92,71 @@ def test_knn_path_requires_nearest_n(spark):
     )
     with pytest.raises(ValueError, match="nearest_n"):
         geofence_status(tracks, fences, fence_broadcast_threshold=1)
+
+
+class TestFencePolygons:
+    def _fences(self, spark):
+        rows = [(i, -7.5 + 0.1 * i, 110.4 + 0.07 * i, 0.5 + 0.25 * (i % 3))
+                for i in range(6)]
+        return spark.createDataFrame(
+            rows, "fence_id long, lat double, lon double, radius_km double"
+        )
+
+    def test_vertices_at_radius_closed_ccw(self, spark):
+        from osm_search_spark.functions.geodesy import haversine_km
+        from osm_search_spark.operators.geofence import fence_polygons
+
+        out = fence_polygons(self._fences(spark), n_vertices=24)
+        ex = out.select(
+            "fence_id", "lat", "lon", "radius_km",
+            F.explode(F.arrays_zip("ring_lat", "ring_lon")).alias("v"),
+        ).select(
+            "fence_id", "radius_km",
+            haversine_km("lat", "lon", F.col("v.ring_lat"), F.col("v.ring_lon")).alias("d"),
+        )
+        bad = ex.filter(F.abs(F.col("d") - F.col("radius_km")) > 1e-7).count()
+        assert bad == 0
+        rows = out.collect()
+        for r in rows:
+            assert len(r["ring_lat"]) == 25
+            assert r["ring_lat"][0] == r["ring_lat"][-1]
+            assert r["ring_lon"][0] == r["ring_lon"][-1]
+            s = sum(
+                r["ring_lon"][i] * r["ring_lat"][i + 1]
+                - r["ring_lon"][i + 1] * r["ring_lat"][i]
+                for i in range(24)
+            )
+            assert s > 0  # CCW
+
+    def test_center_inside_and_clips(self, spark):
+        from osm_search_spark.operators.clip import clip_to_tiles
+        from osm_search_spark.operators.geofence import fence_polygons
+
+        ring = fence_polygons(self._fences(spark), n_vertices=16).select(
+            F.col("fence_id").alias("polygon_id"), "lat", "lon",
+            "ring_lat", "ring_lon",
+        )
+        rows = ring.collect()
+        for r in rows:
+            # even-odd containment of the center
+            inside = False
+            la, lo = r["ring_lat"], r["ring_lon"]
+            for i in range(len(la) - 1):
+                if (la[i] > r["lat"]) != (la[i + 1] > r["lat"]):
+                    x = lo[i] + (r["lat"] - la[i]) * (lo[i + 1] - lo[i]) / (la[i + 1] - la[i])
+                    if x > r["lon"]:
+                        inside = not inside
+            assert inside
+        # composes with the clip stack: area conserved across tiles
+        clipped = clip_to_tiles(ring.drop("lat", "lon"), res=10).collect()
+        def shoe(lat, lon):
+            return abs(sum(lon[i] * lat[i + 1] - lon[i + 1] * lat[i]
+                           for i in range(len(lat) - 1))) / 2
+        by_poly = {}
+        for c in clipped:
+            by_poly.setdefault(c["polygon_id"], 0.0)
+            by_poly[c["polygon_id"]] += shoe(c["ring_lat"], c["ring_lon"])
+        for r in rows:
+            assert by_poly[r["polygon_id"]] == pytest.approx(
+                shoe(r["ring_lat"], r["ring_lon"]), rel=1e-9
+            )
