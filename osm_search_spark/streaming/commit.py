@@ -90,12 +90,32 @@ def read_pointer(table_dir: str) -> dict | None:
     return None
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The committed snapshot (resolves the CURRENT pointer)."""
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The committed snapshot (resolves the CURRENT pointer), or — with
+    ``version`` — a TIME-TRAVEL read of a retained older snapshot (the
+    Iceberg `VERSION AS OF` shape). Only the last _KEEP_VERSIONS
+    snapshots survive commits (expire-snapshots trade, module doc);
+    asking for an expired or never-committed version raises with the
+    retained list. A version NEWER than the pointer is refused even if
+    its directory exists: an orphaned rename from a crash mid-commit is
+    not committed data."""
     rec = read_pointer(table_dir)
     if rec is None:
         raise FileNotFoundError(f"no committed table at {table_dir!r}")
-    return spark.read.parquet(os.path.join(table_dir, rec["version"]))
+    if version is None:
+        return spark.read.parquet(os.path.join(table_dir, rec["version"]))
+    retained = [
+        v for v in _version_dirs(table_dir) if int(v[1:]) <= _rec_seq(rec)
+    ]
+    name = f"v{version}"
+    if name not in retained:
+        raise FileNotFoundError(
+            f"version {version} of {table_dir!r} is expired or was never "
+            f"committed; retained snapshots: {retained}"
+        )
+    return spark.read.parquet(os.path.join(table_dir, name))
 
 
 def _rec_seq(rec: dict) -> int:

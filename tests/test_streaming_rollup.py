@@ -197,3 +197,37 @@ def test_streaming_rollup_missing_pointer_fails_loud(spark, tmp_path):
     (table / "CURRENT").unlink()
     with pytest.raises(RuntimeError, match="no CURRENT pointer"):
         read_rollup(spark, str(table))
+
+
+def test_time_travel_read_of_retained_snapshot(spark, tmp_path):
+    """read_table(version=k): the previous snapshot stays readable until
+    expiry (_KEEP_VERSIONS window), expired/never-committed/orphaned-
+    newer versions raise with the retained list."""
+    import pytest
+
+    from osm_search_spark.streaming.commit import commit_batch, read_table
+    from osm_search_spark.streaming.rollup_stream import _merge_batch
+
+    table = str(tmp_path / "rollup")
+    schema = "event_id long, ts string, event_type string, value double"
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [tuple(r.values()) for r in _rows(lo, hi)], schema
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    commit_batch(spark, table, 0, _merge_batch, batch(0, 40), stream_id="s1")
+    v0 = sorted(map(tuple, read_table(spark, table).collect()))
+    commit_batch(spark, table, 1, _merge_batch, batch(40, 90), stream_id="s1")
+    # current is v1; v0 still retained and time-travel readable
+    assert sorted(map(tuple, read_table(spark, table, version=0).collect())) == v0
+    assert sorted(map(tuple, read_table(spark, table, version=1).collect())) == sorted(
+        map(tuple, read_table(spark, table).collect())
+    )
+    # a third commit expires v0 (_KEEP_VERSIONS = 2)
+    commit_batch(spark, table, 2, _merge_batch, batch(90, 120), stream_id="s1")
+    with pytest.raises(FileNotFoundError, match="expired"):
+        read_table(spark, table, version=0)
+    # never-committed version
+    with pytest.raises(FileNotFoundError, match="retained"):
+        read_table(spark, table, version=9)
