@@ -2107,6 +2107,47 @@ select image_a, image_b, hamming from (
 
 
 
+# Q27b: END-TO-END image near-dup dedup — pHash band pairs -> exact
+# hamming refine -> connected components -> canonical flag, over the
+# whole image table (singletons are their own kept component). Twin:
+# the Q27 pair SQL + a recursive-CTE reachability closure + a left join
+# back to every image (the dedup_components recipe on the image side).
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators import image_ops
+    from osm_search_spark.sources import images as img_src
+
+    imgs = img_src.images_table(spark, 48)
+    return image_ops.image_dedup(imgs, max_hamming=16)
+
+
+def sql_image_dedup() -> str:
+    from osm_search_spark.sources import images as img_src
+
+    vals = ",".join(
+        f"('{r['image_id']}')" for r in (img_src.make_row(i) for i in range(48))
+    )
+    return f"""
+with recursive pairs as ({sql_phash_near_dup()}),
+edges as (
+  select image_a as ea, image_b as eb from pairs
+  union all
+  select image_b as ea, image_a as eb from pairs
+),
+cnodes as (select distinct ea as node from edges),
+reach(src, node) as (
+  select node, node from cnodes
+  union
+  select r.src, e.eb from reach r join edges e on e.ea = r.node
+),
+cc as (select src as image_id, min(node) as component_id from reach group by src),
+allimgs as (select * from (values {vals}) a(image_id))
+select a.image_id,
+       coalesce(cc.component_id, a.image_id) as component_id,
+       coalesce(cc.component_id, a.image_id) = a.image_id as is_canonical
+from allimgs a left join cc using (image_id)
+"""
+
+
 # Q28: the WHOLE indexing program end-to-end — build_places over synth OSM
 # (way assembly + median centroid + dedup + deterministic ids + nearest-
 # street 1-NN + multi-level PIP address enrichment) vs a DuckDB
@@ -2855,8 +2896,9 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "fence_rings", "clip_tiles", "simplify_rings", "mix_sources",
-    "geohash_points", "dedup_spans", "perplexity_filter", "semantic_dedup",
+    "image_dedup", "fence_rings", "clip_tiles", "simplify_rings",
+    "mix_sources", "geohash_points", "dedup_spans", "perplexity_filter",
+    "semantic_dedup",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
@@ -2896,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "image_dedup": q_image_dedup,
         "fence_rings": q_fence_rings,
         "clip_tiles": q_clip_tiles,
         "simplify_rings": q_simplify_rings,
@@ -2976,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "image_dedup": sql_image_dedup(),
         "fence_rings": sql_fence_rings(),
         "clip_tiles": sql_clip_tiles(),
         "simplify_rings": sql_simplify_rings(),

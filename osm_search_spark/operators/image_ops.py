@@ -155,3 +155,30 @@ def resize_thumbnail(images: DataFrame, out_size: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=schema)
+
+
+def image_dedup(images: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """(image_id, component_id, is_canonical) — the end-to-end image
+    near-dup dedup: pHash band-bucket candidate pairs -> exact hamming
+    refine (phash_near_dup_pairs) -> min-label connected components
+    (dedup.connected_components, O(log d) pointer-jumping rounds) ->
+    canonical = the lexicographic-min image_id per cluster. Images with
+    no near-dup are their own singleton component (kept), so the frame
+    covers the WHOLE table and a corpus build filters
+    `is_canonical` directly — the image twin of text dedup_clusters /
+    semantic_dedup."""
+    from .dedup import connected_components
+
+    pairs = phash_near_dup_pairs(images, max_hamming)
+    cc = connected_components(pairs, a="image_a", b="image_b")
+    out = (
+        images.select(F.col("image_id").alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias("image_id"),
+            F.coalesce("component_id", F.col("node")).alias("component_id"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", F.col("image_id") == F.col("component_id")
+    )

@@ -135,3 +135,52 @@ def test_jpeg_420_subsampling_roundtrip():
     # constant color: subsampling is lossless up to quantization
     flat = np.full((24, 40, 3), (90, 140, 200), dtype=np.uint8)
     assert I.psnr(flat, J.jpeg_decode(J.jpeg_encode(flat, 92, "420"))) >= 45.0
+
+
+def test_image_dedup_matches_union_find(spark):
+    """End-to-end pHash dedup vs an independent driver-side union-find
+    over the same refined pairs; singletons are their own kept
+    component and exactly one canonical survives per cluster."""
+    from osm_search_spark.operators import image_ops
+    from osm_search_spark.sources import images as img_src
+
+    imgs = img_src.images_table(spark, 48)
+    pairs = [
+        (r["image_a"], r["image_b"])
+        for r in image_ops.phash_near_dup_pairs(imgs, max_hamming=16).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = [r["image_id"] for r in imgs.select("image_id").collect()]
+    want = {}
+    for i in ids:
+        root = find(i) if i in parent else i
+        want[i] = root
+    # union-find roots aren't guaranteed min-id; normalize per component
+    comp_min = {}
+    for i, root in want.items():
+        comp_min.setdefault(root, i)
+        comp_min[root] = min(comp_min[root], i)
+    want = {i: comp_min[root] for i, root in want.items()}
+
+    got = {
+        r["image_id"]: (r["component_id"], r["is_canonical"])
+        for r in image_ops.image_dedup(imgs, max_hamming=16).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(v[1] == (k == v[0]) for k, v in got.items())
+    # at least one real cluster and at least one singleton in the fixture
+    n_comp = len(set(want.values()))
+    assert n_comp < len(ids)
+    assert any(sum(1 for w in want.values() if w == c) == 1 for c in set(want.values()))
