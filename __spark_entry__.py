@@ -1218,6 +1218,70 @@ def sql_clip_tiles() -> str:
     )
 
 
+# Q5k: geodesic ring measures — spherical area (Chamberlain-Duquette
+# shoelace, exact for lat-lon rectangles) and haversine perimeter over
+# the jagged fixture rings, both as pure Column folds. libm trig ->
+# round 6dp both sides; the twin re-derives via list comprehensions +
+# list_sum on embedded list literals.
+def q_ring_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions.geodesy import (
+        ring_area_km2,
+        ring_perimeter_km,
+    )
+
+    polys = _clip_fixture_polys()
+    df = spark.createDataFrame(
+        [(p["polygon_id"], p["ring_lat"], p["ring_lon"]) for p in polys],
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+    )
+    return df.select(
+        "polygon_id",
+        F.size("ring_lat").cast("long").alias("n_vertices"),
+        F.round(ring_area_km2("ring_lat", "ring_lon"), 6).alias("area_km2"),
+        F.round(ring_perimeter_km("ring_lat", "ring_lon"), 6).alias("perim_km"),
+    )
+
+
+def sql_ring_measures() -> str:
+    from osm_search_spark.functions.geodesy import (
+        ring_area_km2_sql,
+        ring_perimeter_km_sql,
+    )
+
+    rows = []
+    for p in _clip_fixture_polys():
+        la = "[" + ",".join(synth.dlit(v) for v in p["ring_lat"]) + "]"
+        lo = "[" + ",".join(synth.dlit(v) for v in p["ring_lon"]) + "]"
+        rows.append(f"(cast({p['polygon_id']} as bigint), {la}, {lo})")
+    return f"""
+with polys as (select * from (values {", ".join(rows)})
+               t(polygon_id, ring_lat, ring_lon))
+select polygon_id, len(ring_lat) as n_vertices,
+       round({ring_area_km2_sql('ring_lat', 'ring_lon')}, 6) as area_km2,
+       round({ring_perimeter_km_sql('ring_lat', 'ring_lon')}, 6) as perim_km
+from polys
+"""
+
+
+# Q12e5: deterministic per-group cap (the C4 per-host cap) — keep the 12
+# lowest-salted-md5 docs per source; partition/scan-order independent,
+# exact quota. Twin: same row_number over (group, md5, id).
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.curation import cap_per_group
+
+    return cap_per_group(_docs(spark, sf_dir), "source", 12).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def sql_cap_per_group() -> str:
+    from osm_search_spark.operators.curation import cap_predicate_sql
+
+    return cap_predicate_sql(
+        "documents", "source", 12, cols="doc_id, source, lang"
+    )
+
+
 # Q12e4: weighted source mixing (the Pile/LLaMA corpus recipe) — each doc
 # emitted floor(w) times plus a deterministic fractional extra copy by
 # salted-md5 bucket of (source, id); w=0 drops the source. Exercises
@@ -2896,9 +2960,9 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "image_dedup", "fence_rings", "clip_tiles", "simplify_rings",
-    "mix_sources", "geohash_points", "dedup_spans", "perplexity_filter",
-    "semantic_dedup",
+    "ring_measures", "cap_per_group", "image_dedup", "fence_rings",
+    "clip_tiles", "simplify_rings", "mix_sources", "geohash_points",
+    "dedup_spans", "perplexity_filter", "semantic_dedup",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
@@ -2938,6 +3002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "ring_measures": q_ring_measures,
+        "cap_per_group": q_cap_per_group,
         "image_dedup": q_image_dedup,
         "fence_rings": q_fence_rings,
         "clip_tiles": q_clip_tiles,
@@ -3019,6 +3085,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "ring_measures": sql_ring_measures(),
+        "cap_per_group": sql_cap_per_group(),
         "image_dedup": sql_image_dedup(),
         "fence_rings": sql_fence_rings(),
         "clip_tiles": sql_clip_tiles(),

@@ -153,3 +153,71 @@ def buffer_ring_vertex_sql(
 
     wrapped = f"((({dlon}) + {dlit(3 * math.pi)}) % {dlit(2 * math.pi)} - {dlit(math.pi)})"
     return f"degrees({dlat})", f"degrees({wrapped})"
+
+
+def ring_area_km2(ring_lat: Column | str, ring_lon: Column | str) -> Column:
+    """Spherical ring area (km^2) by the Chamberlain–Duquette shoelace
+    (the published turf.js/PostGIS-geography formula):
+    |R^2/2 * sum (lam2 - lam1) * (2 + sin phi1 + sin phi2)| over the
+    closed ring — exact for lat/lon-aligned rectangles (reduces to
+    R^2 * dlam * (sin latN - sin latS)). Pure Column fold (F.aggregate
+    over edge indices); short rings (< 2 points) return 0."""
+    la, lo = _col(ring_lat), _col(ring_lon)
+    n = F.size(la)
+
+    def term(acc, i):
+        lam1 = F.radians(F.element_at(lo, i))
+        lam2 = F.radians(F.element_at(lo, i + 1))
+        p1 = F.radians(F.element_at(la, i))
+        p2 = F.radians(F.element_at(la, i + 1))
+        return acc + (lam2 - lam1) * (F.lit(2.0) + F.sin(p1) + F.sin(p2))
+
+    total = F.aggregate(F.sequence(F.lit(1), n - 1), F.lit(0.0), term)
+    area = F.abs(total) * F.lit(EARTH_RADIUS_KM * EARTH_RADIUS_KM / 2.0)
+    return F.when(n >= 2, area).otherwise(F.lit(0.0))
+
+
+def ring_area_km2_sql(ring_lat: str, ring_lon: str) -> str:
+    """DuckDB twin (list comprehension + list_sum; libm -> round on use)."""
+    from ..sources.synth import dlit
+
+    t = (
+        f"(radians({ring_lon}[i+1]) - radians({ring_lon}[i]))"
+        f" * (2.0 + sin(radians({ring_lat}[i])) + sin(radians({ring_lat}[i+1])))"
+    )
+    return (
+        f"(case when len({ring_lat}) >= 2 then abs(coalesce(list_sum("
+        f"[{t} for i in generate_series(1, len({ring_lat}) - 1)]), 0.0))"
+        f" * {dlit(EARTH_RADIUS_KM ** 2 / 2.0)} else 0.0 end)"
+    )
+
+
+def ring_perimeter_km(ring_lat: Column | str, ring_lon: Column | str) -> Column:
+    """Closed-ring perimeter: sum of haversine edge lengths (same R and
+    formula as haversine_km). Pure Column fold; < 2 points -> 0."""
+    la, lo = _col(ring_lat), _col(ring_lon)
+    n = F.size(la)
+
+    def edge(acc, i):
+        return acc + haversine_km(
+            F.element_at(la, i),
+            F.element_at(lo, i),
+            F.element_at(la, i + 1),
+            F.element_at(lo, i + 1),
+        )
+
+    total = F.aggregate(F.sequence(F.lit(1), n - 1), F.lit(0.0), edge)
+    return F.when(n >= 2, total).otherwise(F.lit(0.0))
+
+
+def ring_perimeter_km_sql(ring_lat: str, ring_lon: str) -> str:
+    """DuckDB twin of ring_perimeter_km."""
+    h = haversine_km_sql(
+        f"{ring_lat}[i]", f"{ring_lon}[i]",
+        f"{ring_lat}[i+1]", f"{ring_lon}[i+1]",
+    )
+    return (
+        f"(case when len({ring_lat}) >= 2 then coalesce(list_sum("
+        f"[{h} for i in generate_series(1, len({ring_lat}) - 1)]), 0.0)"
+        f" else 0.0 end)"
+    )

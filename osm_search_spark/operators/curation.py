@@ -454,3 +454,54 @@ select {cols}, copy_idx from (
          )) as copy_idx
   from {docs_rel})
 """
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group row cap (the C4 per-host / per-domain cap:
+    no single source may dominate the corpus): keep the `cap` rows with
+    the LOWEST salted-md5 hash per group, ties broken by id. Unlike
+    head-N the keep set is independent of partitioning and scan order;
+    unlike a rate sample the quota is exact. Growth caveat: a new doc
+    hashing below a kept one displaces it — the cap is a quota, not a
+    stable sample (use deterministic_sample for growth-stable keeps).
+
+    Plan shape: rank-filtered window -> Spark's WindowGroupLimit pushes
+    the top-cap selection map-side before the shuffle (the round-3
+    insight: partial limits run per input partition), so a group with
+    10^9 rows ships at most cap rows per input partition, not the
+    group."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def cap_predicate_sql(
+    rel: str, group_expr: str, cap: int, id_expr: str = "doc_id",
+    salt: str = "cap", cols: str = "*",
+) -> str:
+    """DuckDB twin of cap_per_group over `rel`."""
+    h = f"md5('{salt}:' || cast({id_expr} as varchar))"
+    return f"""
+select {cols} from (
+  select *, row_number() over (
+    partition by {group_expr} order by {h}, {id_expr}
+  ) as _rk
+  from {rel})
+where _rk <= {cap}
+"""

@@ -337,3 +337,36 @@ class TestMixSources:
 
         with pytest.raises(ValueError):
             mix_sources(self._df(spark), {"src0": -1.0})
+
+
+class TestCapPerGroup:
+    def test_exact_quota_and_determinism(self, spark):
+        from osm_search_spark.operators.curation import cap_per_group
+
+        df = spark.createDataFrame(
+            [(i, f"src{i % 4}", "t") for i in range(200)],
+            "doc_id long, source string, text string",
+        )
+        out = cap_per_group(df, "source", 7)
+        per = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert per == {f"src{i}": 7 for i in range(4)}
+        # order/partitioning independence
+        again = cap_per_group(df.repartition(13), "source", 7)
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in again.collect()
+        )
+        # groups under the cap keep everything
+        small = cap_per_group(df.filter("doc_id < 10"), "source", 7)
+        assert small.count() == 10
+
+    def test_window_group_limit_in_plan(self, spark):
+        from osm_search_spark.operators.curation import cap_per_group
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 2}", "t") for i in range(50)],
+            "doc_id long, source string, text string",
+        )
+        plan = cap_per_group(df, "source", 3)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan

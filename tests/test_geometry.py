@@ -138,3 +138,78 @@ def test_destination_point_roundtrip(spark):
     back = float(G.haversine_km_np(-7.55, 110.78, d["lat"], d["lon"]))
     assert abs(back - 10.0) < 1e-6
     assert d["lon"] > 110.78  # bearing 90 deg = east
+
+
+class TestRingMeasures:
+    def test_rectangle_area_analytic_exact(self, spark):
+        """Chamberlain-Duquette is exact for lat/lon-aligned rectangles:
+        area = R^2 * dlam * (sin latN - sin latS)."""
+        import math
+
+        from osm_search_spark.functions.geodesy import (
+            EARTH_RADIUS_KM,
+            ring_area_km2,
+        )
+        from pyspark.sql import functions as F
+
+        s, n, w, e = -7.9, -7.3, 110.2, 110.9
+        df = spark.createDataFrame(
+            [(1, [s, s, n, n, s], [w, e, e, w, w]),
+             (2, [s, n, n, s, s], [w, w, e, e, w])],  # reversed winding
+            "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+        )
+        got = {r["polygon_id"]: r["a"] for r in df.select(
+            "polygon_id", ring_area_km2("ring_lat", "ring_lon").alias("a")
+        ).collect()}
+        want = (
+            EARTH_RADIUS_KM ** 2
+            * math.radians(e - w)
+            * (math.sin(math.radians(n)) - math.sin(math.radians(s)))
+        )
+        assert got[1] == pytest.approx(want, rel=1e-12)
+        assert got[2] == pytest.approx(want, rel=1e-12)  # winding-invariant
+
+    def test_perimeter_matches_python_haversine(self, spark):
+        import math
+
+        from osm_search_spark.functions.geodesy import ring_perimeter_km
+
+        def hav(lat1, lon1, lat2, lon2):
+            p1, p2 = math.radians(lat1), math.radians(lat2)
+            a = (1 - math.cos(p1 - p2)) / 2 + math.cos(p1) * math.cos(p2) * (
+                1 - math.cos(math.radians(lon1 - lon2))
+            ) / 2
+            return 6371.0 * 2 * math.asin(math.sqrt(a))
+
+        lat = [-7.7 + 0.1 * math.sin(k) for k in range(9)]
+        lon = [110.5 + 0.1 * math.cos(k) for k in range(9)]
+        lat.append(lat[0])
+        lon.append(lon[0])
+        df = spark.createDataFrame(
+            [(1, lat, lon)],
+            "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+        )
+        got = df.select(
+            ring_perimeter_km("ring_lat", "ring_lon").alias("p")
+        ).first()["p"]
+        want = sum(
+            hav(lat[i], lon[i], lat[i + 1], lon[i + 1])
+            for i in range(len(lat) - 1)
+        )
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_short_rings_zero(self, spark):
+        from osm_search_spark.functions.geodesy import (
+            ring_area_km2,
+            ring_perimeter_km,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [], []), (2, [1.0], [2.0])],
+            "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+        )
+        rows = df.select(
+            ring_area_km2("ring_lat", "ring_lon").alias("a"),
+            ring_perimeter_km("ring_lat", "ring_lon").alias("p"),
+        ).collect()
+        assert all(r["a"] == 0.0 and r["p"] == 0.0 for r in rows)
