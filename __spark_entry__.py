@@ -1218,6 +1218,23 @@ def sql_clip_tiles() -> str:
     )
 
 
+# Q5l: grid-density hotspot clustering (DBSCAN-lite) — dense res-13
+# cells of the derived point set (>= 25 points) merged into 8-connected
+# clusters with min-cell-id labels. All-integer output; the twin
+# re-derives density, adjacency (plain |d|<=1 on the fixture band), and
+# the component closure via a recursive CTE.
+def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.hotspot import hotspot_clusters
+
+    return hotspot_clusters(synth.derive_points(spark, sf_dir))
+
+
+def sql_hotspots() -> str:
+    from osm_search_spark.operators.hotspot import hotspot_sql
+
+    return hotspot_sql(f"({synth.points_sql()})")
+
+
 # Q5k: geodesic ring measures — spherical area (Chamberlain-Duquette
 # shoelace, exact for lat-lon rectangles) and haversine perimeter over
 # the jagged fixture rings, both as pure Column folds. libm trig ->
@@ -2960,9 +2977,9 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "ring_measures", "cap_per_group", "image_dedup", "fence_rings",
-    "clip_tiles", "simplify_rings", "mix_sources", "geohash_points",
-    "dedup_spans", "perplexity_filter", "semantic_dedup",
+    "hotspots", "ring_measures", "cap_per_group", "image_dedup",
+    "fence_rings", "clip_tiles", "simplify_rings", "mix_sources",
+    "geohash_points", "dedup_spans", "perplexity_filter", "semantic_dedup",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
@@ -3002,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "hotspots": q_hotspots,
         "ring_measures": q_ring_measures,
         "cap_per_group": q_cap_per_group,
         "image_dedup": q_image_dedup,
@@ -3085,6 +3103,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "hotspots": sql_hotspots(),
         "ring_measures": sql_ring_measures(),
         "cap_per_group": sql_cap_per_group(),
         "image_dedup": sql_image_dedup(),
