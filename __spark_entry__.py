@@ -1218,6 +1218,73 @@ def sql_clip_tiles() -> str:
     )
 
 
+# Q5m: trajectory segmentation — deterministic tracks from the derived
+# points (entity = point_id % 10, ts = point_id * 60; consecutive pings
+# jump a median ~44 km around the band, so the 45 km rule splits about
+# half the steps into new trips), per-trip stats.
+# Twin: same lag/flag/cumsum/groupBy in SQL; the trip index's windowed
+# int sum is CAST (HUGEINT rule), total_km rounds to 6dp (libm rule).
+def _trip_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = synth.derive_points(spark, sf_dir)
+    return pts.select(
+        (F.col("point_id") % 10).alias("entity_id"),
+        (F.col("point_id") * 60).cast("long").alias("ts"),
+        "lat",
+        "lon",
+    )
+
+
+def q_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.trips import segment_trips, trip_stats
+
+    trips = segment_trips(
+        _trip_pings(spark, sf_dir), max_gap_s=10**9, max_jump_km=45.0
+    )
+    out = trip_stats(trips)
+    return out.select(
+        "entity_id",
+        "trip_seq",
+        "n_pings",
+        "duration_s",
+        F.round("total_km", 6).alias("total_km"),
+    )
+
+
+def sql_trip_stats() -> str:
+    hav = haversine_km_sql("plat", "plon", "lat", "lon")
+    return f"""
+with pts as ({synth.points_sql()}),
+pings as (
+  select point_id % 10 as entity_id, point_id * 60 as ts, lat, lon from pts
+),
+steps as (
+  select entity_id, ts, lat, lon,
+         lag(lat) over w as plat,
+         lag(lon) over w as plon,
+         lag(ts) over w as pt
+  from pings window w as (partition by entity_id order by ts)
+),
+flagged as (
+  select entity_id, ts,
+         case when pt is null or (ts - pt > 1000000000)
+                   or ({hav} > 45.0) then 1 else 0 end as newt,
+         case when pt is not null then {hav} end as step_km
+  from steps
+),
+seq as (
+  select entity_id, ts, newt, step_km,
+         cast(sum(newt) over (partition by entity_id order by ts) as bigint)
+           as trip_seq
+  from flagged
+)
+select entity_id, trip_seq, count(*) as n_pings,
+       max(ts) - min(ts) as duration_s,
+       round(coalesce(sum(case when newt = 0 then step_km end), 0.0), 6)
+         as total_km
+from seq group by 1, 2
+"""
+
+
 # Q5l: grid-density hotspot clustering (DBSCAN-lite) — dense res-13
 # cells of the derived point set (>= 25 points) merged into 8-connected
 # clusters with min-cell-id labels. All-integer output; the twin
@@ -2977,9 +3044,10 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "hotspots", "ring_measures", "cap_per_group", "image_dedup",
-    "fence_rings", "clip_tiles", "simplify_rings", "mix_sources",
-    "geohash_points", "dedup_spans", "perplexity_filter", "semantic_dedup",
+    "trip_stats", "hotspots", "ring_measures", "cap_per_group",
+    "image_dedup", "fence_rings", "clip_tiles", "simplify_rings",
+    "mix_sources", "geohash_points", "dedup_spans", "perplexity_filter",
+    "semantic_dedup",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
@@ -3019,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "trip_stats": q_trip_stats,
         "hotspots": q_hotspots,
         "ring_measures": q_ring_measures,
         "cap_per_group": q_cap_per_group,
@@ -3103,6 +3172,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "trip_stats": sql_trip_stats(),
         "hotspots": sql_hotspots(),
         "ring_measures": sql_ring_measures(),
         "cap_per_group": sql_cap_per_group(),
