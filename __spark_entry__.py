@@ -1285,6 +1285,109 @@ from seq group by 1, 2
 """
 
 
+# Q5n: stay-point detection — dwell fixture: each derived point emits
+# 1 + (point_id % 4) pings 120 s apart at the same spot, so dwell
+# durations are 0/120/240/360 s and the 200 s threshold keeps ~half.
+# Runs are per-entity cell change-cumsums (windowed int sum CAST).
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.trips import stay_points
+
+    pts = synth.derive_points(spark, sf_dir)
+    pings = pts.select(
+        (F.col("point_id") % 10).alias("entity_id"),
+        "lat",
+        "lon",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("point_id") % 4).cast("int"))
+        ).alias("_j"),
+        "point_id",
+    ).select(
+        "entity_id",
+        (F.col("point_id") * 600 + F.col("_j") * 120).cast("long").alias("ts"),
+        "lat",
+        "lon",
+    )
+    return stay_points(pings, res=13, min_duration_s=200)
+
+
+def sql_stay_points() -> str:
+    cell = C.latlng_to_cell_sql("lat", "lon", 13)
+    return f"""
+with pts as ({synth.points_sql()}),
+pings as (
+  select point_id % 10 as entity_id,
+         point_id * 600 + unnest(generate_series(0, point_id % 4)) * 120 as ts,
+         lat, lon
+  from pts
+),
+cells as (select entity_id, ts, {cell} as cell_id from pings),
+lagged as (
+  select entity_id, ts, cell_id,
+         case when lag(cell_id) over w is null
+               or lag(cell_id) over w <> cell_id then 1 else 0 end as chg
+  from cells window w as (partition by entity_id order by ts)
+),
+runs as (
+  select entity_id, ts, cell_id,
+         cast(sum(chg) over (partition by entity_id order by ts) as bigint)
+           as run_id
+  from lagged
+)
+select entity_id, cell_id, min(ts) as enter_ts, max(ts) as exit_ts,
+       max(ts) - min(ts) as duration_s, count(*) as n_pings
+from runs group by entity_id, run_id, cell_id
+having max(ts) - min(ts) >= 200
+"""
+
+
+# Q5o: origin-destination matrix — each trip's first/last res-11 cell
+# counted per (o, d) pair over the Q5m trips. Twin: arg_min/arg_max.
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.trips import od_matrix, segment_trips
+
+    trips = segment_trips(
+        _trip_pings(spark, sf_dir), max_gap_s=10**9, max_jump_km=45.0
+    )
+    return od_matrix(trips, res=11)
+
+
+def sql_od_matrix() -> str:
+    hav = haversine_km_sql("plat", "plon", "lat", "lon")
+    cell = C.latlng_to_cell_sql("lat", "lon", 11)
+    return f"""
+with pts as ({synth.points_sql()}),
+pings as (
+  select point_id % 10 as entity_id, point_id * 60 as ts, lat, lon from pts
+),
+steps as (
+  select entity_id, ts, lat, lon,
+         lag(lat) over w as plat,
+         lag(lon) over w as plon,
+         lag(ts) over w as pt
+  from pings window w as (partition by entity_id order by ts)
+),
+flagged as (
+  select entity_id, ts, lat, lon,
+         case when pt is null or (ts - pt > 1000000000)
+                   or ({hav} > 45.0) then 1 else 0 end as newt
+  from steps
+),
+seq as (
+  select entity_id, ts, {cell} as cell_id,
+         cast(sum(newt) over (partition by entity_id order by ts) as bigint)
+           as trip_seq
+  from flagged
+),
+ends as (
+  select entity_id, trip_seq,
+         arg_min(cell_id, ts) as o_cell,
+         arg_max(cell_id, ts) as d_cell
+  from seq group by 1, 2
+)
+select o_cell, d_cell, count(*) as n_trips from ends group by 1, 2
+"""
+
+
 # Q5l: grid-density hotspot clustering (DBSCAN-lite) — dense res-13
 # cells of the derived point set (>= 25 points) merged into 8-connected
 # clusters with min-cell-id labels. All-integer output; the twin
@@ -3044,7 +3147,8 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "trip_stats", "hotspots", "ring_measures", "cap_per_group",
+    "stay_points", "od_matrix", "trip_stats", "hotspots",
+    "ring_measures", "cap_per_group",
     "image_dedup", "fence_rings", "clip_tiles", "simplify_rings",
     "mix_sources", "geohash_points", "dedup_spans", "perplexity_filter",
     "semantic_dedup",
@@ -3087,6 +3191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "stay_points": q_stay_points,
+        "od_matrix": q_od_matrix,
         "trip_stats": q_trip_stats,
         "hotspots": q_hotspots,
         "ring_measures": q_ring_measures,
@@ -3172,6 +3278,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "stay_points": sql_stay_points(),
+        "od_matrix": sql_od_matrix(),
         "trip_stats": sql_trip_stats(),
         "hotspots": sql_hotspots(),
         "ring_measures": sql_ring_measures(),

@@ -86,3 +86,75 @@ def trip_stats(
             ).alias("total_km"),
         )
     )
+
+
+def stay_points(
+    pings: DataFrame,
+    res: int = 13,
+    min_duration_s: int = 900,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stay-point detection, grid flavor: maximal runs of consecutive
+    pings inside the SAME grid cell lasting >= min_duration_s become
+    stays — (entity, cell_id, enter_ts, exit_ts, duration_s, n_pings).
+    The grid quantization replaces the textbook anchor-scan radius test
+    (halve the cell for a tighter radius); runs are found with one lag
+    window + a per-entity change cumsum, the same shape as
+    segment_trips — entity-keyed shuffle only."""
+    from ..functions import cells as C
+
+    w = Window.partitionBy(entity).orderBy(ts)
+    cell = C.latlng_to_cell(lat, lon, res)
+    with_cell = pings.withColumn("_cell", cell)
+    changed = F.when(
+        F.lag("_cell").over(w).isNull()
+        | (F.lag("_cell").over(w) != F.col("_cell")),
+        1,
+    ).otherwise(0)
+    runs = with_cell.withColumn(
+        "_run", F.sum(changed).over(w).cast("long")
+    )
+    return (
+        runs.groupBy(entity, "_run", F.col("_cell").alias("cell_id"))
+        .agg(
+            F.min(F.col(ts).cast("long")).alias("enter_ts"),
+            F.max(F.col(ts).cast("long")).alias("exit_ts"),
+            F.count("*").alias("n_pings"),
+        )
+        .withColumn("duration_s", F.col("exit_ts") - F.col("enter_ts"))
+        .filter(F.col("duration_s") >= min_duration_s)
+        .drop("_run")
+        .select(entity, "cell_id", "enter_ts", "exit_ts", "duration_s", "n_pings")
+    )
+
+
+def od_matrix(
+    trips: DataFrame,
+    res: int = 11,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """(o_cell, d_cell, n_trips) — the origin-destination matrix over
+    segment_trips output: each trip's first/last ping cell (min_by /
+    max_by on ts; ts must be unique per entity for a deterministic pick)
+    counted per (origin, destination) pair. Two groupBys, both on
+    natural keys."""
+    from ..functions import cells as C
+
+    cell = C.latlng_to_cell(lat, lon, res)
+    ends = (
+        trips.withColumn("_cell", cell)
+        .groupBy(entity, "trip_seq")
+        .agg(
+            F.min_by("_cell", F.col(ts)).alias("o_cell"),
+            F.max_by("_cell", F.col(ts)).alias("d_cell"),
+        )
+    )
+    return ends.groupBy("o_cell", "d_cell").agg(
+        F.count("*").alias("n_trips")
+    )

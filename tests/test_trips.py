@@ -64,3 +64,62 @@ def test_partitioning_independence(spark):
     a = trip_stats(segment_trips(_pings(spark)))
     b = trip_stats(segment_trips(_pings(spark).repartition(7)))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stay_points_dwell_detection(spark):
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.trips import stay_points
+
+    size = C.cell_size_deg(13)
+    # entity 1 dwells 20 min in cell A (tiny moves), transits (1 ping per
+    # cell), then dwells 5 min in cell B (below threshold)
+    rows = []
+    for i in range(5):
+        rows.append((1, 1000 + 300 * i, -7.70 + size * 0.001 * i, 110.50))
+    rows.append((1, 3000, -7.0, 110.0))  # transit ping, own cell
+    for i in range(3):
+        rows.append((1, 4000 + 150 * i, -6.50, 109.00 + size * 0.001 * i))
+    df = spark.createDataFrame(rows, "entity_id long, ts long, lat double, lon double")
+    out = stay_points(df, res=13, min_duration_s=900).collect()
+    assert len(out) == 1
+    s = out[0]
+    assert s["n_pings"] == 5 and s["duration_s"] == 1200
+    assert s["enter_ts"] == 1000 and s["exit_ts"] == 2200
+    # re-entering the same cell later is a SEPARATE run
+    rows.append((1, 9000, -7.70, 110.50))
+    rows.append((1, 10500, -7.70, 110.50))
+    df2 = spark.createDataFrame(rows, "entity_id long, ts long, lat double, lon double")
+    out2 = sorted(
+        stay_points(df2, res=13, min_duration_s=900).collect(),
+        key=lambda r: r["enter_ts"],
+    )
+    assert len(out2) == 2
+    assert out2[1]["enter_ts"] == 9000 and out2[1]["n_pings"] == 2
+
+
+def test_od_matrix_counts(spark):
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.trips import od_matrix
+
+    # two entities, pre-segmented trips: both make the same O->D move,
+    # one makes a reverse move
+    o_lat, o_lon = -7.70, 110.50
+    d_lat, d_lon = -6.20, 111.80
+    rows = [
+        (1, 1, 100, o_lat, o_lon), (1, 1, 200, d_lat, d_lon),
+        (2, 1, 100, o_lat, o_lon), (2, 1, 300, d_lat, d_lon),
+        (2, 2, 400, d_lat, d_lon), (2, 2, 500, o_lat, o_lon),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id long, trip_seq long, ts long, lat double, lon double"
+    )
+    out = {(r["o_cell"], r["d_cell"]): r["n_trips"] for r in od_matrix(df, res=11).collect()}
+    import duckdb  # derive expected cells with the shared SQL text
+
+    oc, dc = [
+        duckdb.sql(
+            f"select {C.latlng_to_cell_sql(str(a), str(b), 11)}"
+        ).fetchone()[0]
+        for a, b in ((o_lat, o_lon), (d_lat, d_lon))
+    ]
+    assert out == {(oc, dc): 2, (dc, oc): 1}
