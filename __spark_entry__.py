@@ -2279,6 +2279,79 @@ select point_id, cast(polygon_id as bigint) as polygon_id from hole_strict
 """
 
 
+# Q26d (round 7): multi-outer multipolygon PIP join. Archipelago relations
+# (outer boundary = SEVERAL disjoint rings, one split across open ways)
+# assembled with assemble_relation_polygons(multi_outer=True) — the
+# beyond-reference mode that cuts one polygon row per closed outer ring
+# instead of the reference's splice-all-outers (parse_osm.go:348-368).
+# PIP must assign points in EITHER island to the relation and nothing in
+# the sea between; the twin derives rings closed-form from the same way
+# constants and PIPs per ring (+ per-ring hole exclusion).
+def q_multi_outer_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.sources import osm as osm_src
+
+    points = synth.derive_points(spark, sf_dir)
+    nodes_df, ways_df, rels_df = synth.archipelago_tables(spark)
+    polys = osm_src.assemble_relation_polygons(
+        rels_df, ways_df, nodes_df, multi_outer=True
+    )
+    joined = spatial_join(points, polys, res=C.JOIN_RES)
+    dim = polys.select("polygon_id", "rel_id", "ring_idx")
+    return joined.join(F.broadcast(dim), "polygon_id").select(
+        "point_id", "rel_id", F.col("ring_idx").cast("int").alias("ring_idx")
+    )
+
+
+def sql_multi_outer_pip() -> str:
+    def wn_terms(rl, rn):
+        cross = f"((({rn})[i+1]-({rn})[i])*(plat-({rl})[i]) - (plon-({rn})[i])*(({rl})[i+1]-({rl})[i]))"
+        return (
+            f"list_sum([case when ({rl})[i] <= plat and ({rl})[i+1] > plat and {cross} > 0 then 1 "
+            f"when ({rl})[i] > plat and ({rl})[i+1] <= plat and {cross} < 0 then -1 "
+            f"else 0 end for i in generate_series(1, len({rl}) - 1)])"
+        )
+
+    def edge_terms(rl, rn):
+        return (
+            f"len(list_filter(generate_series(1, len({rl}) - 1), i -> "
+            f"plon >= least(({rn})[i], ({rn})[i+1]) and plon <= greatest(({rn})[i], ({rn})[i+1]) "
+            f"and plat >= least(({rl})[i], ({rl})[i+1]) and plat <= greatest(({rl})[i], ({rl})[i+1]))) > 0"
+        )
+
+    return f"""
+with points as ({synth.points_sql()}),
+rings as ({synth.archipelago_rings_sql()}),
+pairs as (
+  select p.point_id, r.rel_id, r.ring_idx, p.lat as plat, p.lon as plon,
+         r.ring_lat as rl, r.ring_lon as rn
+  from points p join rings r
+    on p.lat >= list_min(r.ring_lat) and p.lat <= list_max(r.ring_lat)
+   and p.lon >= list_min(r.ring_lon) and p.lon <= list_max(r.ring_lon)
+),
+outer_in as (
+  select point_id, rel_id, ring_idx, plat, plon from pairs
+  where {edge_terms('rl', 'rn')} or {wn_terms('rl', 'rn')} <> 0
+),
+hole_rows as (
+  select rel_id, ring_idx, unnest(holes_lat) as hrl, unnest(holes_lon) as hrn
+  from rings
+),
+hole_strict as (
+  select o.point_id, o.rel_id, o.ring_idx
+  from outer_in o join hole_rows h using (rel_id, ring_idx)
+  where {wn_terms('h.hrl', 'h.hrn')} <> 0
+    and not {edge_terms('h.hrl', 'h.hrn')}
+)
+select point_id, cast(rel_id as bigint) as rel_id,
+       cast(ring_idx as int) as ring_idx
+from outer_in
+except
+select point_id, cast(rel_id as bigint) as rel_id,
+       cast(ring_idx as int) as ring_idx
+from hole_strict
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3147,15 +3220,11 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "stay_points", "od_matrix", "trip_stats", "hotspots",
-    "ring_measures", "cap_per_group",
-    "image_dedup", "fence_rings", "clip_tiles", "simplify_rings",
-    "mix_sources", "geohash_points", "dedup_spans", "perplexity_filter",
-    "semantic_dedup",
+    "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 45
+_TAIL_POOL_START = 46  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3191,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "multi_outer_pip": q_multi_outer_pip,
         "stay_points": q_stay_points,
         "od_matrix": q_od_matrix,
         "trip_stats": q_trip_stats,
@@ -3278,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "multi_outer_pip": sql_multi_outer_pip(),
         "stay_points": sql_stay_points(),
         "od_matrix": sql_od_matrix(),
         "trip_stats": sql_trip_stats(),

@@ -281,23 +281,51 @@ def osm_pbf(spark: SparkSession, path: str):
 
 def admin_relations(rel_df: DataFrame) -> DataFrame:
     """PBF-shaped relations -> the engine's admin-relation shape
-    (id, name, admin_level, postal_code, member_way_ids), keeping only
-    way members — the projection ParseOSM applies while scanning relations
-    (parse_osm.go:173-219)."""
+    (id, name, admin_level, postal_code, member_way_ids,
+    member_inner_way_ids) with the exact projection + filters ParseOSM
+    applies while scanning relations (parse_osm.go:173-219):
+
+    - only `boundary=administrative` relations (parse_osm.go:179-185);
+    - drop empty / UNKNOWN-containing names (parse_osm.go:188-191);
+    - the outer RING keeps only way members with role `outer`
+      (parse_osm.go:201);
+    - beyond-reference: role `inner` way members are kept in a separate
+      column so the assembly step can route them into the engine's
+      holes_lat/holes_lon infrastructure instead of splicing hole
+      coordinates into the outer ring (the reference silently drops
+      them, which is at least not corrupting; keeping ALL members, as a
+      naive projection would, is).
+
+    The admin_level 2..7 numeric gate lives downstream in
+    `osm.admin_relation_filter` (shared with the synth path)."""
     from pyspark.sql import functions as F
 
-    zipped = F.arrays_zip("member_ids", "member_types")
-    way_ids = F.filter(zipped, lambda m: m["member_types"] == 1).getField(
-        "member_ids"
-    )
-    return rel_df.select(
-        "id",
-        F.col("tags").getItem("name").alias("name"),
-        F.col("tags").getItem("admin_level").alias("admin_level"),
-        F.coalesce(
-            F.col("tags").getItem("postal_code"), F.lit("")
-        ).alias("postal_code"),
-        way_ids.alias("member_way_ids"),
+    zipped = F.arrays_zip("member_ids", "member_types", "member_roles")
+
+    def _role_ids(role: str):
+        return F.filter(
+            zipped,
+            lambda m: (m["member_types"] == 1) & (m["member_roles"] == role),
+        ).getField("member_ids")
+
+    name = F.col("tags").getItem("name")
+    return (
+        rel_df.filter(
+            F.col("tags").getItem("boundary") == "administrative"
+        )
+        .filter(
+            name.isNotNull() & (name != "") & ~name.contains("UNKNOWN")
+        )
+        .select(
+            "id",
+            name.alias("name"),
+            F.col("tags").getItem("admin_level").alias("admin_level"),
+            F.coalesce(
+                F.col("tags").getItem("postal_code"), F.lit("")
+            ).alias("postal_code"),
+            _role_ids("outer").alias("member_way_ids"),
+            _role_ids("inner").alias("member_inner_way_ids"),
+        )
     )
 
 

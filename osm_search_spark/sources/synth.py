@@ -230,6 +230,115 @@ def donut_polygons_sql() -> str:
     )
 
 
+# --- 2c2. archipelago (multi-outer multipolygon) fixtures ---------------------
+
+# Relations whose outer boundary is SEVERAL disjoint rings — the shape the
+# reference's splice-all-outers assembly (parse_osm.go:348-368) corrupts.
+# Rel 601: two island rings, one closed way each. Rel 602: a holed ring
+# whose outer ring is SPLIT across two open ways (exercises the chain-cut
+# assembly) plus one closed `inner` way. All inside the derived-points band.
+ARCH_WAYS = {
+    # way_id -> (lats, lons); closed ways repeat their first vertex
+    61: ([-7.88, -7.88, -7.80, -7.80, -7.88], [110.30, 110.40, 110.40, 110.30, 110.30]),
+    62: ([-7.86, -7.86, -7.78, -7.78, -7.86], [110.50, 110.62, 110.62, 110.50, 110.50]),
+    63: ([-7.60, -7.60, -7.46], [110.60, 110.85, 110.85]),  # open half-ring
+    64: ([-7.46, -7.46, -7.60], [110.85, 110.60, 110.60]),  # closing half
+    65: ([-7.56, -7.56, -7.50, -7.50, -7.56], [110.68, 110.78, 110.78, 110.68, 110.68]),
+}
+ARCH_RELS = [
+    (601, "Kepulauan Contoh", [61, 62], []),
+    (602, "Pulau Berlubang", [63, 64], [65]),
+]
+
+
+def archipelago_tables(spark: SparkSession):
+    """OSM-shaped (nodes, ways, relations-with-inner-members) frames for the
+    multi-outer fixture. Ways deliberately do NOT share node ids across the
+    split ring — ring chaining is by coordinate equality, as on a real
+    extract after quantization."""
+    nodes, ways = [], []
+    nid = 1
+    for wid, (lats, lons) in ARCH_WAYS.items():
+        ids = []
+        for la, lo in zip(lats, lons):
+            nodes.append((nid, la, lo))
+            ids.append(nid)
+            nid += 1
+        ways.append((wid, ids, {}))
+    nodes_df = spark.createDataFrame(nodes, "id long, lat double, lon double")
+    ways_df = spark.createDataFrame(
+        ways, "id long, node_ids array<long>, tags map<string,string>"
+    )
+    rels_df = spark.createDataFrame(
+        [
+            (rid, name, "4", "", outer, inner)
+            for rid, name, outer, inner in ARCH_RELS
+        ],
+        "id long, name string, admin_level string, postal_code string, "
+        "member_way_ids array<long>, member_inner_way_ids array<long>",
+    )
+    return nodes_df, ways_df, rels_df
+
+
+def _wn_py(lats, lons, plat, plon) -> int:
+    wn = 0
+    for i in range(len(lats) - 1):
+        cross = (lons[i + 1] - lons[i]) * (plat - lats[i]) - (
+            plon - lons[i]
+        ) * (lats[i + 1] - lats[i])
+        if lats[i] <= plat < lats[i + 1] and cross > 0:
+            wn += 1
+        elif lats[i + 1] <= plat < lats[i] and cross < 0:
+            wn -= 1
+    return wn
+
+
+def archipelago_rings_py() -> list[tuple]:
+    """The fixture's flat per-ring rows, derived closed-form with the SAME
+    chaining semantics as assemble_relation_polygons(multi_outer=True):
+    member ways concatenate in order, a ring is cut at closure, holes
+    attach to the ring containing their first vertex. Rows:
+    (rel_id, ring_idx, ring_lat, ring_lon, holes_lat, holes_lon)."""
+    out = []
+    for rid, _name, outer, inner in ARCH_RELS:
+        rings, cur_lat, cur_lon = [], [], []
+        for wid in outer:
+            lats, lons = ARCH_WAYS[wid]
+            cur_lat, cur_lon = cur_lat + list(lats), cur_lon + list(lons)
+            if len(cur_lat) >= 4 and cur_lat[0] == cur_lat[-1] and cur_lon[0] == cur_lon[-1]:
+                rings.append((cur_lat, cur_lon))
+                cur_lat, cur_lon = [], []
+        if cur_lat:
+            rings.append((cur_lat, cur_lon))
+        holes = [ARCH_WAYS[wid] for wid in inner]
+        for idx, (rl, rn) in enumerate(rings):
+            mine = [
+                h for h in holes if _wn_py(rl, rn, h[0][0], h[1][0]) != 0
+            ]
+            out.append(
+                (rid, idx, rl, rn, [h[0] for h in mine], [h[1] for h in mine])
+            )
+    return out
+
+
+def archipelago_rings_sql() -> str:
+    def arr(xs):
+        return "[" + ",".join(dlit(v) for v in xs) + "]"
+
+    def arr2(xss):
+        return "[" + ",".join(arr(xs) for xs in xss) + "]"
+
+    rows = ",\n".join(
+        f"({rid}, {idx}, {arr(rl)}::double[], {arr(rn)}::double[], "
+        f"{arr2(hl)}::double[][], {arr2(hn)}::double[][])"
+        for rid, idx, rl, rn, hl, hn in archipelago_rings_py()
+    )
+    return (
+        "select * from (values\n" + rows +
+        "\n) ar(rel_id, ring_idx, ring_lat, ring_lon, holes_lat, holes_lon)"
+    )
+
+
 # --- 2d. labeled language corpus ---------------------------------------------
 
 # Deterministic labeled corpora for the trained language-ID operator
