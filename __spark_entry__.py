@@ -2352,6 +2352,112 @@ from hole_strict
 """
 
 
+# Q26e (round 7): vector dissolve/union by attribute — kecamatan merged by
+# city key via shared-edge cancellation (operators/dissolve.py). The gate
+# hashes the CANCELLATION core: surviving-edge count, Chamberlain-Duquette
+# area and haversine perimeter summed over the surviving directed edge set
+# (both edge-additive, so no ring order needed SQL-side); ring CHAINING is
+# pytest-verified (tests/test_dissolve.py: ring counts + city parity).
+# Same CD/haversine expression text on both engines; libm -> 6dp rounding.
+_DISSOLVE_CD_TERM = (
+    "(radians(blon) - radians(alon))"
+    " * (2.0 + sin(radians(alat)) + sin(radians(blat)))"
+)
+_KEC_KEY_RE = "kecamatan_([0-9]+)_([0-9]+)_"
+
+
+def q_dissolve_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions.geodesy import EARTH_RADIUS_KM
+    from osm_search_spark.operators.dissolve import dissolve_edges
+
+    kec = (
+        synth.admin_polygons(spark)
+        .filter(F.col("admin_level") == 7)
+        .withColumn(
+            "group_key",
+            F.concat(
+                F.lit("kota_"),
+                F.regexp_extract("name", _KEC_KEY_RE, 1),
+                F.lit("_"),
+                F.regexp_extract("name", _KEC_KEY_RE, 2),
+            ),
+        )
+    )
+    edges = dissolve_edges(kec)
+    return edges.groupBy("group_key").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(
+            F.abs(F.sum(F.expr(_DISSOLVE_CD_TERM)))
+            * F.lit(EARTH_RADIUS_KM**2 / 2.0),
+            6,
+        ).alias("area_km2"),
+        F.round(
+            F.sum(haversine_km(F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon"))),
+            6,
+        ).alias("perim_km"),
+    )
+
+
+def sql_dissolve_admin() -> str:
+    from osm_search_spark.functions.geodesy import EARTH_RADIUS_KM
+
+    r2half = synth.dlit(EARTH_RADIUS_KM**2 / 2.0)
+    hav = haversine_km_sql("alat", "alon", "blat", "blon")
+    shoe_t = "(_rn[i] * _rl[i+1] - _rn[i+1] * _rl[i])"
+    return f"""
+with kec as (
+  select concat('kota_', regexp_extract(name, '{_KEC_KEY_RE}', 1), '_',
+                regexp_extract(name, '{_KEC_KEY_RE}', 2)) as group_key,
+         [minlat, minlat, maxlat, maxlat, minlat] as _rl,
+         [minlon, maxlon, maxlon, minlon, minlon] as _rn
+  from ({synth.admin_polygons_sql()}) where admin_level = 7
+),
+-- rings are closed by construction; normalize to CCW (no-op here, but the
+-- operator's semantics) via the planar shoelace sign
+norm as (
+  select group_key,
+    case when shoe < 0 then list_reverse(_rl) else _rl end as rl,
+    case when shoe < 0 then list_reverse(_rn) else _rn end as rn
+  from (
+    select *, list_sum([{shoe_t}
+                        for i in generate_series(1, len(_rl) - 1)]) as shoe
+    from kec
+  )
+),
+idx as (
+  select group_key, rl, rn,
+         unnest(generate_series(1, len(rl) - 1)) as i
+  from norm
+),
+edges as (
+  select group_key, rl[i] as alat, rn[i] as alon,
+         rl[i+1] as blat, rn[i+1] as blon
+  from idx
+),
+surv as (
+  select group_key,
+         min([alat, alon, blat, blon]) as e
+  from edges
+  group by group_key,
+           case when [alat, alon] < [blat, blon]
+                then [alat, alon] else [blat, blon] end,
+           case when [alat, alon] < [blat, blon]
+                then [blat, blon] else [alat, alon] end
+  having count(*) = 1
+),
+dedir as (
+  select group_key, e[1] as alat, e[2] as alon, e[3] as blat, e[4] as blon
+  from surv
+)
+select group_key,
+       count(*) as n_edges,
+       round(abs(sum({_DISSOLVE_CD_TERM})) * {r2half}, 6) as area_km2,
+       round(sum({hav}), 6) as perim_km
+from dedir
+group by group_key
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3220,11 +3326,11 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "multi_outer_pip",
+    "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 46  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 47  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3260,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "dissolve_admin": q_dissolve_admin,
         "multi_outer_pip": q_multi_outer_pip,
         "stay_points": q_stay_points,
         "od_matrix": q_od_matrix,
@@ -3348,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "dissolve_admin": sql_dissolve_admin(),
         "multi_outer_pip": sql_multi_outer_pip(),
         "stay_points": sql_stay_points(),
         "od_matrix": sql_od_matrix(),
