@@ -463,14 +463,314 @@ def chain_rings(edges: DataFrame, res: int, px: int) -> DataFrame:
     return edges.groupBy("polygon_id").applyInPandas(chain, schema=_RING_SCHEMA)
 
 
-def vectorize_masks(raster: DataFrame, res: int, px: int) -> DataFrame:
+def _successor(a, v, out_map, used):
+    """The chain_rings successor rule as a pure function: leftmost turn
+    first, reverse last. At every lattice vertex the left-turn rule is a
+    perfect matching of in-edges to out-edges (each incoming direction
+    prefers the out-edge hugging its own pixel corner), so the choice is
+    independent of walk order — the property that makes the hierarchical
+    split below bit-identical to the single-task walk."""
+    cands = [
+        w for w in out_map.get(v, ()) if (v[0], v[1], w[0], w[1]) not in used
+    ]
+    if not cands:
+        return None
+    if len(cands) == 1:
+        return cands[0]
+    d = (v[0] - a[0], v[1] - a[1])
+    for pref in (
+        (-d[1], d[0]),   # left turn
+        d,               # straight
+        (d[1], -d[0]),   # right turn
+        (-d[0], -d[1]),  # reverse (degenerate pinch)
+    ):
+        nxt = (v[0] + pref[0], v[1] + pref[1])
+        if nxt in cands:
+            return nxt
+    return None  # pragma: no cover
+
+
+_FRAG_SCHEMA = (
+    "polygon_id long, closed boolean, "
+    "k_in_a long, k_in_b long, k_out_a long, k_out_b long, "
+    "n_edges long, area2 long, me_a long, me_b long, me_pos long, "
+    "xs array<long>, ys array<long>, pos array<long>"
+)
+
+
+def _pack_edge(ax, ay, bx, by):
+    return ax * VPACK + ay, bx * VPACK + by
+
+
+def chain_rings_hierarchical(
+    edges: DataFrame, res: int, px: int, stitch_shift: int = 12
+) -> DataFrame:
+    """`chain_rings`, split into two BOUNDED stages so one continent-sized
+    polygon no longer chains its whole boundary in a single task
+    (PLANS.md's vectorize_masks caveat, round-7 VERDICT item 4).
+
+    Stage 1 (per (polygon, 2^shift-lattice block), distributed): chain the
+    block's edges into (a) closed rings wholly inside the block — finished
+    locally exactly like chain_rings — and (b) open FRAGMENTS that enter
+    and leave the block. An edge belongs to the block of its a-vertex, so
+    every out-edge of a vertex is local and the successor rule evaluates
+    exactly; block-crossing edges additionally ship one GHOST copy to the
+    b-vertex's block so fragment entry points and their incoming
+    directions are known locally. Fragment interiors are collinear-
+    compressed (direction-change vertices only), so stage-2 payload scales
+    with corner count + block crossings, never raw perimeter.
+
+    Stage 2 (per polygon): stitch fragments by (exit edge == next
+    fragment's ghost edge) key — macro-edges walked exactly like edges —
+    then one simultaneous collinear sweep over the seams and a rotation to
+    each ring's minimal original edge. Output is BIT-IDENTICAL to
+    chain_rings (tested): same ring_id order (rings sorted by their
+    minimal directed edge), same start vertex (first direction-change
+    vertex at/after the minimal edge in walk order), same area2.
+    """
+    size_p = C.cell_size_deg(res + _check_px(px))
+    s = stitch_shift
+
+    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["polygon_id"].iloc[0])
+        bkx = int(pdf["_bkx"].iloc[0])
+        bky = int(pdf["_bky"].iloc[0])
+        rows_in = list(
+            zip(
+                pdf["ax"].astype(int), pdf["ay"].astype(int),
+                pdf["bx"].astype(int), pdf["by"].astype(int),
+                pdf["_g"],
+            )
+        )
+        es = sorted((ax, ay, bx, by) for ax, ay, bx, by, g in rows_in if not g)
+        ghosts = sorted((ax, ay, bx, by) for ax, ay, bx, by, g in rows_in if g)
+        out_map: dict[tuple, list] = {}
+        for ax, ay, bx, by in es:
+            out_map.setdefault((ax, ay), []).append((bx, by))
+        for v in out_map.values():
+            v.sort()
+        used: set[tuple] = set()
+
+        def in_block(v):
+            return (v[0] >> s) == bkx and (v[1] >> s) == bky
+
+        out_rows = []
+
+        # (b) open fragments, one per ghost in-edge
+        for g in ghosts:
+            a, v = (g[0], g[1]), (g[2], g[3])
+            frag: list[tuple] = []
+            while True:
+                w = _successor(a, v, out_map, used)
+                if w is None:
+                    raise ValueError(
+                        f"open boundary at {v} (polygon {pid})"
+                    )  # pragma: no cover
+                e = (v[0], v[1], w[0], w[1])
+                used.add(e)
+                frag.append(e)
+                a, v = v, w
+                if not in_block(v):
+                    break
+            # collinear-compress interior a-vertices; index 0 force-kept
+            verts = [(e[0], e[1]) for e in frag]
+            nxt_pts = verts[1:] + [(frag[-1][2], frag[-1][3])]
+            kx, ky, kp = [], [], []
+            for i, p in enumerate(verts):
+                if i > 0:
+                    p0, p2 = verts[i - 1], nxt_pts[i]
+                    d0 = (p[0] - p0[0], p[1] - p0[1])
+                    d1 = (p2[0] - p[0], p2[1] - p[1])
+                    if d0[0] * d1[1] - d0[1] * d1[0] == 0:
+                        continue
+                kx.append(p[0])
+                ky.append(p[1])
+                kp.append(i)
+            me_pos, me = min(enumerate(frag), key=lambda t: t[1])
+            area2 = sum(e[0] * e[3] - e[2] * e[1] for e in frag)
+            ka, kb = _pack_edge(*g)
+            oa, ob = _pack_edge(*frag[-1])
+            ma, mb = _pack_edge(*me)
+            out_rows.append(
+                (pid, False, ka, kb, oa, ob, len(frag), area2,
+                 ma, mb, me_pos, kx, ky, kp)
+            )
+
+        # (a) local closed rings from the leftover edges — the chain_rings
+        # walk verbatim (walk start == the cycle's minimal edge)
+        for e0 in es:
+            if e0 in used:
+                continue
+            start = (e0[0], e0[1])
+            verts = [start]
+            cur = e0
+            area2 = 0
+            while True:
+                used.add(cur)
+                a = (cur[0], cur[1])
+                v = (cur[2], cur[3])
+                area2 += a[0] * v[1] - v[0] * a[1]
+                if v == start:
+                    break
+                verts.append(v)
+                w = _successor(a, v, out_map, used)
+                if w is None:
+                    raise ValueError(
+                        f"open boundary at {v} (polygon {pid})"
+                    )  # pragma: no cover
+                cur = (v[0], v[1], w[0], w[1])
+            n = len(verts)
+            keep = []
+            for i in range(n):
+                p0, p1, p2 = verts[i - 1], verts[i], verts[(i + 1) % n]
+                d0 = (p1[0] - p0[0], p1[1] - p0[1])
+                d1 = (p2[0] - p1[0], p2[1] - p1[1])
+                if d0[0] * d1[1] - d0[1] * d1[0] != 0:
+                    keep.append(p1)
+            keep.append(keep[0])
+            ma, mb = _pack_edge(*e0)
+            out_rows.append(
+                (pid, True, 0, 0, 0, 0, n, area2, ma, mb, 0,
+                 [p[0] for p in keep], [p[1] for p in keep], [])
+            )
+        return pd.DataFrame(
+            out_rows,
+            columns=[
+                "polygon_id", "closed", "k_in_a", "k_in_b", "k_out_a",
+                "k_out_b", "n_edges", "area2", "me_a", "me_b", "me_pos",
+                "xs", "ys", "pos",
+            ],
+        )
+
+    def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["polygon_id"].iloc[0])
+        rings = []  # (me_a, me_b, area2, closed_xs, closed_ys)
+        frags = []
+        for r in pdf.itertuples(index=False):
+            if r.closed:
+                rings.append(
+                    (int(r.me_a), int(r.me_b), int(r.area2),
+                     [int(x) for x in r.xs], [int(y) for y in r.ys])
+                )
+            else:
+                frags.append(r)
+        by_key = {}
+        for fr in frags:
+            by_key[(int(fr.k_in_a), int(fr.k_in_b))] = fr
+        used_f: set[tuple] = set()
+        for fr in sorted(frags, key=lambda t: (int(t.me_a), int(t.me_b))):
+            fkey = (int(fr.k_in_a), int(fr.k_in_b))
+            if fkey in used_f:
+                continue
+            chain = [fr]
+            used_f.add(fkey)
+            cur = fr
+            while True:
+                nkey = (int(cur.k_out_a), int(cur.k_out_b))
+                if nkey == fkey:
+                    break
+                nxt = by_key.get(nkey)
+                if nxt is None:
+                    raise ValueError(
+                        f"unstitchable fragment at {nkey} (polygon {pid})"
+                    )  # pragma: no cover
+                used_f.add(nkey)
+                chain.append(nxt)
+                cur = nxt
+            # concatenate kept vertices with global walk positions
+            xs, ys, pos = [], [], []
+            off = 0
+            area2 = 0
+            me = (int(chain[0].me_a), int(chain[0].me_b))
+            me_pos = int(chain[0].me_pos)  # min edge lives in chain[0]
+            for fx in chain:
+                xs.extend(int(x) for x in fx.xs)
+                ys.extend(int(y) for y in fx.ys)
+                pos.extend(off + int(p) for p in fx.pos)
+                area2 += int(fx.area2)
+                off += int(fx.n_edges)
+            # simultaneous collinear sweep (only seams can still be
+            # collinear; straight-run deltas are parallel to the original
+            # unit directions, so cross==0 here iff in the full walk)
+            n = len(xs)
+            keep_idx = []
+            for i in range(n):
+                p0 = (xs[i - 1], ys[i - 1])
+                p1 = (xs[i], ys[i])
+                p2 = (xs[(i + 1) % n], ys[(i + 1) % n])
+                d0 = (p1[0] - p0[0], p1[1] - p0[1])
+                d1 = (p2[0] - p1[0], p2[1] - p1[1])
+                if d0[0] * d1[1] - d0[1] * d1[0] != 0:
+                    keep_idx.append(i)
+            # rotate: first kept vertex at/after the minimal edge's
+            # a-vertex in walk order (positions wrap around the cycle)
+            k0 = next(
+                (j for j, i in enumerate(keep_idx) if pos[i] >= me_pos), 0
+            )
+            order = keep_idx[k0:] + keep_idx[:k0]
+            kx = [xs[i] for i in order] + [xs[order[0]]]
+            ky = [ys[i] for i in order] + [ys[order[0]]]
+            rings.append((me[0], me[1], area2, kx, ky))
+        rings.sort(key=lambda t: (t[0], t[1]))
+        out = [
+            (
+                pid, rid, area2, kx, ky,
+                [y * size_p - 90.0 for y in ky],
+                [x * size_p - 180.0 for x in kx],
+            )
+            for rid, (_, __, area2, kx, ky) in enumerate(rings)
+        ]
+        return pd.DataFrame(
+            out,
+            columns=[
+                "polygon_id", "ring_id", "area2",
+                "xs", "ys", "ring_lat", "ring_lon",
+            ],
+        )
+
+    blk_a = {"_bkx": F.shiftright("ax", s), "_bky": F.shiftright("ay", s)}
+    real = edges.withColumns({**blk_a, "_g": F.lit(False)})
+    ghost = (
+        edges.filter(
+            (F.shiftright("ax", s) != F.shiftright("bx", s))
+            | (F.shiftright("ay", s) != F.shiftright("by", s))
+        )
+        .withColumns(
+            {
+                "_bkx": F.shiftright("bx", s),
+                "_bky": F.shiftright("by", s),
+                "_g": F.lit(True),
+            }
+        )
+    )
+    frags = (
+        real.unionByName(ghost)
+        .groupBy("polygon_id", "_bkx", "_bky")
+        .applyInPandas(stage1, schema=_FRAG_SCHEMA)
+    )
+    return frags.groupBy("polygon_id").applyInPandas(
+        stage2, schema=_RING_SCHEMA
+    )
+
+
+def vectorize_masks(
+    raster: DataFrame, res: int, px: int, stitch_shift: int | None = None
+) -> DataFrame:
     """Raster -> vector: boundary rings of the set-pixel union per polygon.
 
     Output: (polygon_id, ring_id, area2, xs, ys, ring_lat, ring_lon).
     Invariant: sum(area2) over a polygon's rings == 2 * total set pixels
     (outer rings positive, holes negative) — exact integers.
+
+    stitch_shift=None (default): single chaining task per polygon.
+    stitch_shift=k: hierarchical two-stage chaining over 2^k-lattice
+    blocks (`chain_rings_hierarchical`) — bit-identical output, bounded
+    per-task work for polygons whose boundary spans many blocks.
     """
-    return chain_rings(cancel_edges(boundary_edges(raster, px)), res, px)
+    edges = cancel_edges(boundary_edges(raster, px))
+    if stitch_shift is None:
+        return chain_rings(edges, res, px)
+    return chain_rings_hierarchical(edges, res, px, stitch_shift)
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,62 @@ def test_cross_tile_rectangle_stitches(spark):
     assert sorted(zip(r["xs"], r["ys"]))[0] == (x0, y0)
 
 
+def _ring_rows(rings):
+    return sorted(
+        (
+            r["polygon_id"], r["ring_id"], r["area2"],
+            tuple(r["xs"]), tuple(r["ys"]),
+            tuple(r["ring_lat"]), tuple(r["ring_lon"]),
+        )
+        for r in rings
+    )
+
+
+def test_hierarchical_stitching_bit_identical(spark, concave_raster):
+    """chain_rings_hierarchical must reproduce chain_rings EXACTLY —
+    same ring ids, start vertices, vertex lists, areas — at a block size
+    small enough that every fixture ring spans many blocks (shift=5 ->
+    32-pixel blocks vs 8-pixel tiles), and at one so large the whole world
+    is a single block (pure fragment-free path)."""
+    _, rast = concave_raster
+    want = _ring_rows(R.vectorize_masks(rast, RES, PX).collect())
+    for shift in (5, 30):
+        got = _ring_rows(
+            R.vectorize_masks(rast, RES, PX, stitch_shift=shift).collect()
+        )
+        assert got == want, f"shift={shift}"
+
+
+def test_hierarchical_stitching_corner_cases(spark):
+    """Donut hole, checkerboard pinch, and the cross-tile rectangle — the
+    known chaining edge cases — through the two-stage path."""
+    m1 = np.zeros((PX, PX), dtype=bool)
+    m1[2:5, 2:5] = True
+    m1[3, 3] = False
+    m2 = np.zeros((PX, PX), dtype=bool)
+    m2[0, 0] = m2[1, 1] = True
+    for name, mask in [("donut", m1), ("pinch", m2)]:
+        rast = _raster_df(spark, mask)
+        want = _ring_rows(R.vectorize_masks(rast, RES, PX).collect())
+        got = _ring_rows(
+            R.vectorize_masks(rast, RES, PX, stitch_shift=2).collect()
+        )
+        assert got == want, name
+    # cross-tile rectangle at a block size that cuts every side
+    x0, y0 = 3000 * PX + 3, 1500 * PX + 5
+    w, h = 3 * PX, 2 * PX
+    lon = [v * SIZE_P - 180.0 for v in (x0, x0 + w, x0 + w, x0, x0)]
+    lat = [v * SIZE_P - 90.0 for v in (y0, y0, y0 + h, y0 + h, y0)]
+    polys = spark.createDataFrame(
+        [(7, lat, lon)],
+        "polygon_id long, ring_lat array<double>, ring_lon array<double>",
+    )
+    rast = R.rasterize_polygons(polys, res=RES, px=PX)
+    want = _ring_rows(R.vectorize_masks(rast, RES, PX).collect())
+    got = _ring_rows(R.vectorize_masks(rast, RES, PX, stitch_shift=3).collect())
+    assert got == want
+
+
 def test_rasterize_grouped_parity(spark, concave_raster):
     """The >threshold grouped plan (rings never collected) produces the
     identical raster as the broadcast path."""
