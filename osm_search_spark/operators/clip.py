@@ -37,12 +37,12 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import cells as C
-from .spatial_join import classified_cover
 
 
 def _clip_open(xs: list[float], ys: list[float], axis: int, bound: float, keep_ge: bool):
@@ -129,6 +129,126 @@ def clip_polygon_cell_py(
     return outer[0], outer[1], h_lat, h_lon
 
 
+def _clip_rings_np(ys_list, xs_list, bounds):
+    """Vectorized Sutherland–Hodgman over MANY (ring, rect) rows at once
+    (round-7 VERDICT item 6): all rows' vertices flatten into one array
+    and each of the four half-plane passes runs as a single numpy step —
+    per-vertex emission slots (current vertex, then crossing intersection)
+    compact in order, so output vertex VALUES and ORDER are bit-identical
+    to the scalar `_clip_ring_rect` (same IEEE ops in the same order; the
+    scalar stays as the oracle/VALUES reference).
+
+    ys_list/xs_list: per-row CLOSED or open ring arrays;
+    bounds: float64 array (R, 4) of (minlat, minlon, maxlat, maxlon).
+    Returns list of (closed_lat_list, closed_lon_list) or None per row.
+    """
+    R = len(ys_list)
+    opens = []
+    for ys, xs in zip(ys_list, xs_list):
+        ys, xs = _open_ring(ys, xs)
+        opens.append((ys, xs))
+    counts = np.array([len(ys) for ys, _ in opens], dtype=np.int64)
+    Y = np.concatenate([ys for ys, _ in opens]) if R else np.empty(0)
+    X = np.concatenate([xs for _, xs in opens]) if R else np.empty(0)
+    return _clip_flat(X, Y, counts, bounds)
+
+
+def _open_ring(ys, xs):
+    ys = np.asarray(ys, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    if len(ys) and ys[0] == ys[-1] and xs[0] == xs[-1]:
+        ys, xs = ys[:-1], xs[:-1]
+    return ys, xs
+
+
+def _clip_flat(X, Y, counts, bounds):
+    """Core batched Sutherland–Hodgman: flat vertex arrays + per-row
+    counts + per-row rects. Returns list of (closed_lat, closed_lon)
+    numpy arrays or None per row."""
+    R = len(counts)
+    row_id = np.repeat(np.arange(R, dtype=np.int64), counts)
+
+    for axis, bcol, keep_ge in (
+        (0, 1, True),   # x >= minlon
+        (0, 3, False),  # x <= maxlon
+        (1, 0, True),   # y >= minlat
+        (1, 2, False),  # y <= maxlat
+    ):
+        n = len(X)
+        if n == 0:
+            break
+        b = bounds[row_id, bcol]
+        V = X if axis == 0 else Y
+        idx = np.arange(n, dtype=np.int64)
+        ends = np.cumsum(counts) - 1
+        ends = ends[counts > 0]
+        starts = ends - counts[counts > 0] + 1
+        nxt = idx + 1
+        nxt[ends] = starts
+        NV = V[nxt]
+        c_in = (V >= b) if keep_ge else (V <= b)
+        n_in = (NV >= b) if keep_ge else (NV <= b)
+        crossing = c_in != n_in
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (b - V) / (NV - V)
+            if axis == 0:
+                iX, iY = b, Y + t * (Y[nxt] - Y)
+            else:
+                iX, iY = X + t * (X[nxt] - X), b
+        sel = np.empty(2 * n, dtype=bool)
+        sel[0::2], sel[1::2] = c_in, crossing
+        nX = np.empty(2 * n)
+        nY = np.empty(2 * n)
+        nR = np.empty(2 * n, dtype=np.int64)
+        nX[0::2], nX[1::2] = X, iX
+        nY[0::2], nY[1::2] = Y, iY
+        nR[0::2], nR[1::2] = row_id, row_id
+        X, Y, row_id = nX[sel], nY[sel], nR[sel]
+        counts = np.bincount(row_id, minlength=R)
+
+    # shoelace per row, vectorized; the == 0.0 DROP decision must match the
+    # scalar kernel's sequential Python sum bit-for-bit, so reduceat's
+    # pairwise sum is only trusted away from zero and borderline rows
+    # (|area2| < 1e-6, i.e. slivers) are re-summed sequentially
+    out: list = [None] * R
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    n = len(X)
+    area = np.zeros(R)
+    cross = np.empty(0)
+    if n:
+        idx = np.arange(n, dtype=np.int64)
+        ends = np.cumsum(counts) - 1
+        ends = ends[counts > 0]
+        starts = ends - counts[counts > 0] + 1
+        nxt = idx + 1
+        nxt[ends] = starts
+        cross = X * Y[nxt] - X[nxt] * Y
+        area[counts > 0] = np.add.reduceat(cross, starts)
+    alive = []
+    for r in np.flatnonzero(counts >= 3):
+        a2 = area[r]
+        if abs(a2) < 1e-6:
+            a2 = sum(cross[offs[r]:offs[r + 1]].tolist())
+        if a2 != 0.0:
+            alive.append(r)
+    if not alive:
+        return out
+    # close all surviving rings in one gather (ring + repeated first vertex)
+    alive = np.asarray(alive, dtype=np.int64)
+    k = counts[alive]
+    k2 = k + 1
+    offs2 = np.concatenate([[0], np.cumsum(k2)])
+    local = np.arange(offs2[-1], dtype=np.int64) - np.repeat(offs2[:-1], k2)
+    src = np.repeat(offs[alive], k2) + np.where(
+        local < np.repeat(k, k2), local, 0
+    )
+    Xc, Yc = X[src], Y[src]
+    for j, r in enumerate(alive):
+        sl = slice(offs2[j], offs2[j + 1])
+        out[r] = (Yc[sl], Xc[sl])
+    return out
+
+
 def clip_to_tiles(
     polys: DataFrame, res: int = C.TILE_RES
 ) -> DataFrame:
@@ -136,47 +256,75 @@ def clip_to_tiles(
     holes_lon): each polygon cut to every tile cell it covers. FULL cells
     are pure Column rectangles; PARTIAL cells run the Arrow kernel."""
     has_holes = "holes_lat" in polys.columns and "holes_lon" in polys.columns
-    cover = classified_cover(polys, res).localCheckpoint(eager=True)
-    size = C.cell_size_deg(res)
-    ix = C.cell_ix("cell_id")
-    iy = C.cell_iy("cell_id")
-    minlon = ix.cast("double") * F.lit(size) - 180.0
-    minlat = iy.cast("double") * F.lit(size) - 90.0
-    maxlon = minlon + F.lit(size)
-    maxlat = minlat + F.lit(size)
-    full_out = cover.filter("full").select(
-        "polygon_id",
-        "cell_id",
-        F.lit(True).alias("full"),
-        F.array(minlat, minlat, maxlat, maxlat, minlat).alias("ring_lat"),
-        F.array(minlon, maxlon, maxlon, minlon, minlon).alias("ring_lon"),
-        F.array().cast("array<array<double>>").alias("holes_lat"),
-        F.array().cast("array<array<double>>").alias("holes_lon"),
-    )
     ring_cols = ["polygon_id", "ring_lat", "ring_lon"] + (
         ["holes_lat", "holes_lon"] if has_holes else []
     )
-    part = cover.filter(~F.col("full")).join(
-        polys.select(*ring_cols), "polygon_id"
-    )
+    size = C.cell_size_deg(res)
 
+    # ONE fused mapInPandas over the polygon dim: cover classification and
+    # the tiled PARTIAL clip run in the same Arrow pass, so each ring
+    # crosses the wire ONCE, the whole polygon's boundary cells clip in
+    # one numpy batch, and the plan is map-only — zero shuffles. FULL
+    # cells leave the kernel ringless (rectangles are rebuilt in pure
+    # Column arithmetic below — no Python, no Arrow volume for the
+    # area-scaling bulk). A polygon's full boundary clips in one task —
+    # the grouped-refine trade already documented for the PIP join.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .spatial_join import classified_cover_rows
+
         for pdf in batches:
             rows = []
-            for r in pdf.to_dict("records"):
-                got = clip_polygon_cell_py(
-                    r["ring_lat"],
-                    r["ring_lon"],
-                    r["cell_id"],
-                    res,
-                    r.get("holes_lat") if has_holes else None,
-                    r.get("holes_lon") if has_holes else None,
+            for rec in pdf.to_dict("records"):
+                cover = classified_cover_rows([rec], res)
+                pid = rec["polygon_id"]
+                for _, cell, f in cover:
+                    if f:
+                        rows.append((pid, cell, True, None, None, [], []))
+                cells = np.array(
+                    [c for _, c, f in cover if not f], dtype=np.int64
                 )
-                if got is None:
+                m = len(cells)
+                if m == 0:
                     continue
-                rows.append(
-                    (r["polygon_id"], r["cell_id"], False) + got
+                ix = (cells % C.RES_BITS_SHIFT) // C.IX_SHIFT
+                iy = cells % C.IX_SHIFT
+                minlon = ix * size - 180.0
+                minlat = iy * size - 90.0
+                cell_bounds = np.stack(
+                    [minlat, minlon, minlat + size, minlon + size], axis=1
                 )
+                rings = [(rec["ring_lat"], rec["ring_lon"])]
+                if has_holes and rec["holes_lat"] is not None:
+                    rings += list(zip(rec["holes_lat"], rec["holes_lon"]))
+                # tile each ring across all m cells -> one flat batch
+                parts_y, parts_x, parts_c = [], [], []
+                for ys, xs in rings:
+                    ys, xs = _open_ring(ys, xs)
+                    parts_y.append(np.tile(ys, m))
+                    parts_x.append(np.tile(xs, m))
+                    parts_c.append(np.full(m, len(ys), dtype=np.int64))
+                clipped = _clip_flat(
+                    np.concatenate(parts_x),
+                    np.concatenate(parts_y),
+                    np.concatenate(parts_c),
+                    np.tile(cell_bounds, (len(rings), 1)),
+                )
+                for p in range(m):
+                    got = clipped[p]  # outer ring of cell p
+                    if got is None:
+                        continue
+                    h = [
+                        clipped[hi * m + p]
+                        for hi in range(1, len(rings))
+                        if clipped[hi * m + p] is not None
+                    ]
+                    rows.append(
+                        (
+                            pid, cells[p], False,
+                            got[0], got[1],
+                            [x[0] for x in h], [x[1] for x in h],
+                        )
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -190,5 +338,22 @@ def clip_to_tiles(
         "ring_lat array<double>, ring_lon array<double>, "
         "holes_lat array<array<double>>, holes_lon array<array<double>>"
     )
-    part_out = part.mapInPandas(run, schema=schema)
-    return full_out.unionByName(part_out)
+    out = polys.select(*ring_cols).mapInPandas(run, schema=schema)
+    ix = C.cell_ix("cell_id")
+    iy = C.cell_iy("cell_id")
+    minlon = ix.cast("double") * F.lit(size) - 180.0
+    minlat = iy.cast("double") * F.lit(size) - 90.0
+    maxlon = minlon + F.lit(size)
+    maxlat = minlat + F.lit(size)
+    return out.withColumns(
+        {
+            "ring_lat": F.when(
+                F.col("full"),
+                F.array(minlat, minlat, maxlat, maxlat, minlat),
+            ).otherwise(F.col("ring_lat")),
+            "ring_lon": F.when(
+                F.col("full"),
+                F.array(minlon, maxlon, maxlon, minlon, minlon),
+            ).otherwise(F.col("ring_lon")),
+        }
+    )

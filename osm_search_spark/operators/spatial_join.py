@@ -136,15 +136,24 @@ def classified_cover_rows(polygons_rows: list[dict], res: int) -> list[tuple]:
             corners_in &= G.points_in_polygon_with_holes(cl, cn, rl, rn, holes)
         edge_touch = np.zeros(len(cover), dtype=bool)
         boundary_rings = [(rl, rn)] + holes
+        n_cells = len(cover)
         for brl, brn in boundary_rings:
             a_lat, a_lon, b_lat, b_lon = brl[:-1], brn[:-1], brl[1:], brn[1:]
-            for i in range(len(a_lat)):
-                e_minlat, e_maxlat = min(a_lat[i], b_lat[i]), max(a_lat[i], b_lat[i])
-                e_minlon, e_maxlon = min(a_lon[i], b_lon[i]), max(a_lon[i], b_lon[i])
+            e_minlat = np.minimum(a_lat, b_lat)
+            e_maxlat = np.maximum(a_lat, b_lat)
+            e_minlon = np.minimum(a_lon, b_lon)
+            e_maxlon = np.maximum(a_lon, b_lon)
+            # edges x cells bbox-overlap, broadcast (chunked so a huge
+            # ring x huge cover never materializes a giant bool matrix)
+            step = max(1, 4_000_000 // max(n_cells, 1))
+            for s in range(0, len(e_minlat), step):
+                e = slice(s, s + step)
                 edge_touch |= (
-                    (e_minlat <= maxlat) & (e_maxlat >= minlat)
-                    & (e_minlon <= maxlon) & (e_maxlon >= minlon)
-                )
+                    (e_minlat[e, None] <= maxlat[None, :])
+                    & (e_maxlat[e, None] >= minlat[None, :])
+                    & (e_minlon[e, None] <= maxlon[None, :])
+                    & (e_maxlon[e, None] >= minlon[None, :])
+                ).any(axis=0)
         full = corners_in & ~edge_touch
         keep = edge_touch | corners_in
         out.extend(
