@@ -2458,6 +2458,34 @@ group by group_key
 """
 
 
+# Q26f (round 7): trained model-based quality filter (FineWeb-Edu/DCLM
+# position in the pipeline) — pinned logistic-regression margins over
+# dense text features + hashed char trigrams, pure Column arithmetic
+# (operators/quality_clf.py; trained distributed, weights pinned). The
+# twin carries the identical weight literals and term order; ln() is the
+# one libm call -> margins rounded 6dp on both sides, and the keep flag
+# derives from the ROUNDED margin so both engines decide identically.
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.quality_clf import score_quality
+
+    m = F.round(score_quality(F.col("text")), 6)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        m.alias("margin"),
+        (m > 0).alias("keep"),
+    )
+
+
+def sql_quality_classifier() -> str:
+    from osm_search_spark.operators.quality_clf import score_quality_sql
+
+    m = f"round({score_quality_sql('text')}, 6)"
+    return f"""
+select doc_id, {m} as margin, {m} > 0 as keep
+from documents
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3326,11 +3354,11 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "dissolve_admin", "multi_outer_pip",
+    "quality_classifier", "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 47  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 48  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3366,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "quality_classifier": q_quality_classifier,
         "dissolve_admin": q_dissolve_admin,
         "multi_outer_pip": q_multi_outer_pip,
         "stay_points": q_stay_points,
@@ -3455,6 +3484,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "quality_classifier": sql_quality_classifier(),
         "dissolve_admin": sql_dissolve_admin(),
         "multi_outer_pip": sql_multi_outer_pip(),
         "stay_points": sql_stay_points(),

@@ -339,6 +339,87 @@ def archipelago_rings_sql() -> str:
     )
 
 
+# --- 2c3. planted quality corpus (good/bad docs for the trained filter) ------
+
+_QC_CONTENT = (
+    "data system market report plan team year work state result company "
+    "model value price level group number student school house water light "
+    "music paper garden window travel winter summer morning evening people "
+    "family history science nature energy health money record project"
+).split()
+_QC_SYMBOLS = ["$$$", "###", "!!!", "@@@", "%%%", "^^^", "&&&"]
+_QC_CONSONANTS = "bcdfghjklmnpqrstvwxz"
+
+
+def _lcg(x: int) -> int:
+    return (x * 1103515245 + 12345) % (1 << 31)
+
+
+def quality_corpus_py(n: int = 2000) -> list[tuple]:
+    """Deterministic labeled docs for the trained quality classifier:
+    (doc_id, text, label). Even ids: natural-ish English (stopwords +
+    content words + sentence punctuation, label 1). Odd ids: one of four
+    junk flavors (symbol spam, single-word repetition, consonant
+    gibberish, digit spam; label 0). Closed-form LCG, no RNG state."""
+    from ..functions.text import GOPHER_REQUIRED_STOPWORDS
+
+    stops = list(GOPHER_REQUIRED_STOPWORDS)
+    rows = []
+    for i in range(n):
+        x = _lcg(i * 7919 + 17)
+        if i % 2 == 0:
+            m = 60 + x % 90
+            toks = []
+            for j in range(m):
+                x = _lcg(x)
+                if x % 3 == 0:
+                    toks.append(stops[x % len(stops)])
+                else:
+                    toks.append(_QC_CONTENT[x % len(_QC_CONTENT)])
+                if j % 11 == 10:
+                    toks[-1] += "."
+            rows.append((i, " ".join(toks), 1))
+        else:
+            flavor = (i // 2) % 4
+            if flavor == 0:
+                m = 40 + x % 60
+                toks = [
+                    _QC_SYMBOLS[_lcg(x + j) % len(_QC_SYMBOLS)]
+                    for j in range(m)
+                ]
+                rows.append((i, " ".join(toks), 0))
+            elif flavor == 1:
+                w = _QC_CONTENT[x % len(_QC_CONTENT)]
+                rows.append((i, " ".join([w] * (50 + x % 70)), 0))
+            elif flavor == 2:
+                m = 50 + x % 70
+                toks = []
+                for j in range(m):
+                    x = _lcg(x)
+                    ln = 5 + x % 4
+                    toks.append(
+                        "".join(
+                            _QC_CONSONANTS[_lcg(x + k) % len(_QC_CONSONANTS)]
+                            for k in range(ln)
+                        )
+                    )
+                rows.append((i, " ".join(toks), 0))
+            else:
+                m = 45 + x % 60
+                toks = []
+                for j in range(m):
+                    x = _lcg(x)
+                    toks.append(str(1000 + x % 9000))
+                rows.append((i, " ".join(toks), 0))
+    return rows
+
+
+def quality_corpus(spark: SparkSession, n: int = 2000) -> DataFrame:
+    return spark.createDataFrame(
+        quality_corpus_py(n), "doc_id long, text string, label int"
+    )
+
+
 # --- 2d. labeled language corpus ---------------------------------------------
 
 # Deterministic labeled corpora for the trained language-ID operator

@@ -73,6 +73,8 @@ def main() -> int:
             f"create or replace view {t} as select * from '{sf_dir}/{t}.parquet'"
         )
 
+    import time
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
@@ -81,27 +83,34 @@ def main() -> int:
         if only and name not in only:
             continue
         attempted += 1
+        t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"[FAIL] {name}: spark error: {ex}")
             failed.append(name)
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_pdf)} rows")
             continue
+        t0 = time.time()
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"[FAIL] {name}: duckdb error: {ex}")
             failed.append(name)
             continue
+        t_duck = time.time() - t0
         errs = compare(name, spark_pdf, duck_pdf)
         if errs:
             print(f"[FAIL] {name}: " + "; ".join(errs))
             failed.append(name)
         else:
-            print(f"[ok] {name}: {len(spark_pdf)} rows match")
+            print(
+                f"[ok] {name}: {len(spark_pdf)} rows match "
+                f"(spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
+            )
     print(f"\n{attempted - len(failed)}/{attempted} queries match"
           + ("" if attempted == len(queries)
              else f" (subset of {len(queries)} registered)"))
