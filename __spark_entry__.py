@@ -2486,6 +2486,77 @@ from documents
 """
 
 
+# Q26g (round 7): snap-to-segment (map-matching primitive) — nearest
+# street SEGMENT with the exact foot-of-perpendicular, vs the
+# reference's nearest street-POINT 1-NN (indexer.go:1032-1038). The
+# Spark side goes through the cell-cover candidate join + struct-argmin;
+# the twin brute-forces all segments (embedded VALUES from the same
+# synth closed form) with the IDENTICAL t/snap/haversine expression text
+# and a row_number argmin with the same (dist, way_id, seg_idx)
+# tie-break. Floats rounded 6dp (cos/asin/sqrt libm).
+_SNAP_RADIUS_KM = 3.0
+
+
+def q_snap_streets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.snap import snap_to_segments
+    from osm_search_spark.sources import osm as osm_src
+
+    nodes, ways, _ = osm_src.synth_osm(spark)
+    streets = (
+        osm_src.assemble_ways(ways, nodes)
+        .filter(F.map_contains_key("tags", "highway"))
+        .select("id", "lats", "lons")
+    )
+    points = synth.derive_points(spark, sf_dir)
+    return snap_to_segments(points, streets, radius_km=_SNAP_RADIUS_KM)
+
+
+def sql_snap_streets() -> str:
+    from osm_search_spark.operators.snap import (
+        SNAP_LAT_EXPR, SNAP_LON_EXPR, T_EXPR,
+    )
+    from osm_search_spark.sources import osm as osm_src
+
+    nodes, ways, _ = osm_src.synth_osm_py()
+    node_pos = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
+    seg_rows = []
+    for w in ways:
+        if "highway" not in w["tags"]:
+            continue
+        ids = w["node_ids"]
+        for i in range(len(ids) - 1):
+            (alat, alon), (blat, blon) = node_pos[ids[i]], node_pos[ids[i + 1]]
+            seg_rows.append(
+                f"({w['id']}, {i}, {synth.dlit(alat)}, {synth.dlit(alon)}, "
+                f"{synth.dlit(blat)}, {synth.dlit(blon)})"
+            )
+    hav = haversine_km_sql("plat", "plon", SNAP_LAT_EXPR, SNAP_LON_EXPR)
+    return f"""
+with points as ({synth.points_sql()}),
+segs as (select * from (values
+{",".join(seg_rows)}
+) s(way_id, seg_idx, alat, alon, blat, blon)),
+scored as (
+  select p.point_id, s.way_id, s.seg_idx,
+         {T_EXPR} as t_raw, {SNAP_LAT_EXPR} as slat_raw,
+         {SNAP_LON_EXPR} as slon_raw, {hav} as d_raw
+  from (select point_id, lat as plat, lon as plon from points) p
+  cross join segs s
+),
+in_radius as (
+  select *, row_number() over (
+    partition by point_id order by d_raw, way_id, seg_idx
+  ) as rk
+  from scored where round(d_raw, 6) <= {_SNAP_RADIUS_KM}
+)
+select point_id, cast(way_id as bigint) as way_id,
+       cast(seg_idx as int) as seg_idx,
+       round(t_raw, 6) as t, round(slat_raw, 6) as snap_lat,
+       round(slon_raw, 6) as snap_lon, round(d_raw, 6) as dist_km
+from in_radius where rk = 1
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3354,11 +3425,12 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "quality_classifier", "dissolve_admin", "multi_outer_pip",
+    "snap_streets", "quality_classifier", "dissolve_admin",
+    "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 48  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 49  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3394,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "snap_streets": q_snap_streets,
         "quality_classifier": q_quality_classifier,
         "dissolve_admin": q_dissolve_admin,
         "multi_outer_pip": q_multi_outer_pip,
@@ -3484,6 +3557,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "snap_streets": sql_snap_streets(),
         "quality_classifier": sql_quality_classifier(),
         "dissolve_admin": sql_dissolve_admin(),
         "multi_outer_pip": sql_multi_outer_pip(),
