@@ -2557,6 +2557,62 @@ from in_radius where rk = 1
 """
 
 
+# Q26h (round 7): cell-cover compaction (the H3 compact analog on the
+# engine's grid, operators/compaction.py). Input cover = the DISTINCT
+# res-14 occupancy cells of the derived points (identical formula both
+# engines); the twin unrolls the same 4-sibling promotion level by level
+# (14 -> 10) in chained CTEs with the identical parent integer
+# arithmetic. Pure integer ids — exact hash compare, no rounding.
+_COMPACT_RES, _COMPACT_MIN_RES = 14, 10
+
+
+def q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.compaction import compact_cells
+
+    cover = (
+        synth.derive_points(spark, sf_dir)
+        .select(C.latlng_to_cell("lat", "lon", _COMPACT_RES).alias("cell_id"))
+        .distinct()
+    )
+    out = compact_cells(cover, _COMPACT_RES, _COMPACT_MIN_RES)
+    return out.select(
+        "cell_id",
+        (F.col("cell_id") / F.lit(C.RES_BITS_SHIFT)).cast("int").alias("res"),
+    )
+
+
+def sql_compact_cover() -> str:
+    from osm_search_spark.operators.compaction import parent_sql
+
+    cell = C.latlng_to_cell_sql("lat", "lon", _COMPACT_RES)
+    ctes = [
+        f"pts as ({synth.points_sql()})",
+        f"c{_COMPACT_RES} as (select distinct {cell} as cell_id from pts)",
+    ]
+    keeps = []
+    for r in range(_COMPACT_RES, _COMPACT_MIN_RES, -1):
+        par = parent_sql("cell_id", r)
+        ctes.append(f"w{r} as (select cell_id, {par} as p from c{r})")
+        ctes.append(
+            f"promo{r} as (select p from w{r} group by p having count(*) = 4)"
+        )
+        ctes.append(
+            f"keep{r} as (select cell_id from w{r} "
+            f"where p not in (select p from promo{r}))"
+        )
+        ctes.append(f"c{r - 1} as (select p as cell_id from promo{r})")
+        keeps.append(f"select cell_id from keep{r}")
+    keeps.append(f"select cell_id from c{_COMPACT_MIN_RES}")
+    union = "\nunion all ".join(keeps)
+    return (
+        "with " + ",\n".join(ctes) + f"""
+select cell_id,
+       cast(cell_id // {C.RES_BITS_SHIFT} as int) as res
+from ({union})
+"""
+    )
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3425,12 +3481,12 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "snap_streets", "quality_classifier", "dissolve_admin",
-    "multi_outer_pip",
+    "compact_cover", "snap_streets", "quality_classifier",
+    "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 49  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 50  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3466,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "compact_cover": q_compact_cover,
         "snap_streets": q_snap_streets,
         "quality_classifier": q_quality_classifier,
         "dissolve_admin": q_dissolve_admin,
@@ -3557,6 +3614,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "compact_cover": sql_compact_cover(),
         "snap_streets": sql_snap_streets(),
         "quality_classifier": sql_quality_classifier(),
         "dissolve_admin": sql_dissolve_admin(),
