@@ -2613,6 +2613,140 @@ from ({union})
     )
 
 
+# Q26i (round 7): polygon labeling points — area-weighted centroid
+# (holes subtracted, orientation-free) + point-on-surface (widest-
+# interval scanline at the bbox mid-latitude, guaranteed interior) over
+# the donut + concave fixtures (functions/labels.py). Libm-free (+,-,*,/
+# only; shoelace in LOCAL coordinates about the ring's first vertex for
+# conditioning), so both engines compute the identical doubles.
+def _labels_polys(spark: SparkSession) -> DataFrame:
+    empty_dd = F.array().cast("array<array<double>>")
+    donut = synth.donut_polygons_df(spark)
+    conc = synth.concave_polygons_df(spark).select(
+        (F.col("polygon_id") + 100).alias("polygon_id"),
+        "ring_lat", "ring_lon",
+        empty_dd.alias("holes_lat"), empty_dd.alias("holes_lon"),
+    )
+    return donut.unionByName(conc)
+
+
+def q_polygon_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions.labels import centroid, point_on_surface
+
+    polys = _labels_polys(spark)
+    clat, clon = centroid("ring_lat", "ring_lon", "holes_lat", "holes_lon")
+    plat, plon = point_on_surface(
+        "ring_lat", "ring_lon", "holes_lat", "holes_lon"
+    )
+    return polys.select(
+        "polygon_id",
+        clat.alias("clat"), clon.alias("clon"),
+        plat.alias("pos_lat"), plon.alias("pos_lon"),
+    )
+
+
+def sql_polygon_labels() -> str:
+    def cross(rl, rn, i):
+        return (
+            f"(({rn}[{i}] - x0) * ({rl}[{i}+1] - y0)"
+            f" - ({rn}[{i}+1] - x0) * ({rl}[{i}] - y0))"
+        )
+
+    def terms(rl, rn):
+        c = cross(rl, rn, "i")
+        gen = f"generate_series(1, len({rl}) - 1)"
+        s = f"coalesce(list_sum([{c} for i in {gen}]), 0.0)"
+        nx = (
+            f"coalesce(list_sum([(({rn}[i] - x0) + ({rn}[i+1] - x0)) * {c}"
+            f" for i in {gen}]), 0.0)"
+        )
+        ny = (
+            f"coalesce(list_sum([(({rl}[i] - y0) + ({rl}[i+1] - y0)) * {c}"
+            f" for i in {gen}]), 0.0)"
+        )
+        return s, nx, ny
+
+    def xs_of(rl, rn):
+        gen = f"generate_series(1, len({rl}) - 1)"
+        x = f"({rn}[i] + (y - {rl}[i]) / ({rl}[i+1] - {rl}[i]) * ({rn}[i+1] - {rn}[i]))"
+        return (
+            f"[{x} for i in {gen}"
+            f" if ({rl}[i] <= y) <> ({rl}[i+1] <= y)]"
+        )
+
+    s_o, nx_o, ny_o = terms("ring_lat", "ring_lon")
+    s_h, nx_h, ny_h = terms("hrl", "hrn")
+    return f"""
+with donut as ({synth.donut_polygons_sql()}),
+conc0 as ({synth.concave_polygons_sql()}),
+polys as (
+  select polygon_id, ring_lat, ring_lon, holes_lat, holes_lon from donut
+  union all
+  select polygon_id + 100, ring_lat, ring_lon,
+         []::double[][], []::double[][] from conc0
+),
+base as (
+  select polygon_id, ring_lat, ring_lon, holes_lat, holes_lon,
+         ring_lat[1] as y0, ring_lon[1] as x0,
+         (list_min(ring_lat) + list_max(ring_lat)) / 2.0 as y
+  from polys
+),
+outer_t as (
+  select polygon_id, y0, x0, y,
+         case when {s_o} < 0 then -1.0 else 1.0 end * {s_o} as s,
+         case when {s_o} < 0 then -1.0 else 1.0 end * {nx_o} as nx,
+         case when {s_o} < 0 then -1.0 else 1.0 end * {ny_o} as ny,
+         {xs_of('ring_lat', 'ring_lon')} as oxs
+  from base
+),
+hole_rows as (
+  select polygon_id, y0, x0, y,
+         unnest(holes_lat) as hrl, unnest(holes_lon) as hrn
+  from base
+),
+hole_t as (
+  select polygon_id,
+         case when {s_h} < 0 then -1.0 else 1.0 end * {s_h} as s,
+         case when {s_h} < 0 then -1.0 else 1.0 end * {nx_h} as nx,
+         case when {s_h} < 0 then -1.0 else 1.0 end * {ny_h} as ny,
+         {xs_of('hrl', 'hrn')} as hxs
+  from hole_rows
+),
+hole_agg as (
+  select polygon_id, sum(s) as hs, sum(nx) as hnx, sum(ny) as hny,
+         flatten(list(hxs)) as hxs
+  from hole_t group by polygon_id
+),
+combined as (
+  select o.polygon_id, o.y0, o.x0, o.y,
+         o.s - coalesce(h.hs, 0.0) as s,
+         o.nx - coalesce(h.hnx, 0.0) as nx,
+         o.ny - coalesce(h.hny, 0.0) as ny,
+         list_sort(o.oxs || coalesce(h.hxs, [])) as xs
+  from outer_t o left join hole_agg h using (polygon_id)
+),
+intervals as (
+  select polygon_id, y, xs,
+         unnest(generate_series(1, len(xs) // 2)) as k
+  from combined
+),
+pos as (
+  select polygon_id, y,
+         (xs[2*k - 1] + xs[2*k]) / 2.0 as mid,
+         row_number() over (
+           partition by polygon_id
+           order by (xs[2*k] - xs[2*k - 1]) desc, k asc
+         ) as rk
+  from intervals
+)
+select cast(c.polygon_id as bigint) as polygon_id,
+       case when c.s <> 0 then c.y0 + c.ny / (3.0 * c.s) end as clat,
+       case when c.s <> 0 then c.x0 + c.nx / (3.0 * c.s) end as clon,
+       p.y as pos_lat, p.mid as pos_lon
+from combined c join pos p on c.polygon_id = p.polygon_id and p.rk = 1
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3481,12 +3615,12 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "compact_cover", "snap_streets", "quality_classifier",
-    "dissolve_admin", "multi_outer_pip",
+    "polygon_labels", "compact_cover", "snap_streets",
+    "quality_classifier", "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 50  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 51  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3522,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "polygon_labels": q_polygon_labels,
         "compact_cover": q_compact_cover,
         "snap_streets": q_snap_streets,
         "quality_classifier": q_quality_classifier,
@@ -3614,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "polygon_labels": sql_polygon_labels(),
         "compact_cover": sql_compact_cover(),
         "snap_streets": sql_snap_streets(),
         "quality_classifier": sql_quality_classifier(),
