@@ -2747,6 +2747,50 @@ from combined c join pos p on c.polygon_id = p.polygon_id and p.rk = 1
 """
 
 
+# Q26j (round 7): image quality filtering + aspect bucketing (the LAION/
+# DataComp curation filters over the image payload). The Spark side
+# DECODES every image in the Arrow kernel and computes the stats; the
+# twin re-synthesizes the deterministic rows DRIVER-SIDE through the
+# SAME decode + image_stats_py and embeds the results as VALUES (the
+# round-2 images recipe) — so the gate hash-verifies the distributed
+# decode + stats pipeline end to end. Integer sums exact; the two float
+# columns are identical numpy arithmetic on both sides (no rounding).
+_IMG_Q_N = 240
+
+
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.image_ops import image_quality_stats
+    from osm_search_spark.sources import images as img_src
+
+    return image_quality_stats(img_src.images_table(spark, _IMG_Q_N))
+
+
+def sql_image_quality() -> str:
+    from osm_search_spark.functions import images as I
+    from osm_search_spark.operators.image_ops import image_stats_py
+    from osm_search_spark.sources import images as img_src
+
+    rows = []
+    for i in range(_IMG_Q_N):
+        r = img_src.make_row(i)
+        s = image_stats_py(r["image_id"], I.decode(r["bytes"], r["fmt"]))
+        rows.append(
+            f"('{s[0]}', {s[1]}, {s[2]}, {s[3]}, '{s[4]}', {s[5]}, {s[6]}, "
+            f"{synth.dlit(s[7])}, {synth.dlit(s[8])}, {str(s[9]).lower()})"
+        )
+    return f"""
+select image_id, cast(w as int) as w, cast(h as int) as h,
+       cast(min_dim as int) as min_dim, aspect_bucket,
+       cast(px_sum as bigint) as px_sum,
+       cast(px_sq_sum as bigint) as px_sq_sum,
+       entropy, luma_mean, keep
+from (values
+{",".join(rows)}
+) t(image_id, w, h, min_dim, aspect_bucket, px_sum, px_sq_sum,
+    entropy, luma_mean, keep)
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3615,12 +3659,12 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "polygon_labels", "compact_cover", "snap_streets",
+    "image_quality", "polygon_labels", "compact_cover", "snap_streets",
     "quality_classifier", "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 51  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 52  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3656,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "image_quality": q_image_quality,
         "polygon_labels": q_polygon_labels,
         "compact_cover": q_compact_cover,
         "snap_streets": q_snap_streets,
@@ -3749,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "image_quality": sql_image_quality(),
         "polygon_labels": sql_polygon_labels(),
         "compact_cover": sql_compact_cover(),
         "snap_streets": sql_snap_streets(),

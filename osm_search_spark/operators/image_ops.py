@@ -182,3 +182,81 @@ def image_dedup(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     return out.withColumn(
         "is_canonical", F.col("image_id") == F.col("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LAION/DataComp-style image quality filtering + aspect bucketing
+# ---------------------------------------------------------------------------
+
+# SDXL-style aspect buckets: images batch by shape class during training
+ASPECT_BUCKETS = ((1, 1), (2, 1), (1, 2), (4, 1), (1, 4))
+
+IMAGE_STATS_SCHEMA = (
+    "image_id string, w int, h int, min_dim int, aspect_bucket string, "
+    "px_sum long, px_sq_sum long, entropy double, luma_mean double, "
+    "keep boolean"
+)
+
+
+def image_stats_py(image_id: str, pixels: np.ndarray) -> tuple:
+    """Quality statistics of DECODED pixels — the one shared function both
+    the distributed kernel and the oracle's driver-side VALUES builder
+    call, so the gate verifies the decode + stats pipeline bit-for-bit.
+
+    Stats follow the published curation filters (LAION-5B, DataComp):
+    minimum dimension, aspect-ratio band, not-near-black/white mean,
+    non-flat variance, histogram entropy. Sums are exact int64; the only
+    floats (entropy, luma_mean) are identical numpy arithmetic on both
+    sides. keep = min_dim >= 64 AND aspect in [1/3, 3] AND mean luma in
+    [5, 250] AND std >= 5."""
+    import math
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    flat = pixels.astype(np.int64)
+    n = flat.size
+    px_sum = int(flat.sum())
+    px_sq_sum = int((flat * flat).sum())
+    mean = px_sum / n
+    var = px_sq_sum / n - mean * mean
+    counts = np.bincount(pixels.reshape(-1), minlength=256)
+    p = counts[counts > 0] / n
+    entropy = float(-(p * np.log2(p)).sum())
+    lr = math.log(w / h)
+    bucket = min(
+        ASPECT_BUCKETS, key=lambda ab: (abs(math.log(ab[0] / ab[1]) - lr), ab)
+    )
+    keep = (
+        min(w, h) >= 64
+        and 1.0 / 3.0 <= w / h <= 3.0
+        and 5.0 <= mean <= 250.0
+        and var >= 25.0
+    )
+    return (
+        image_id, int(w), int(h), int(min(w, h)),
+        f"{bucket[0]}:{bucket[1]}", px_sum, px_sq_sum, entropy,
+        mean, bool(keep),
+    )
+
+
+def image_quality_stats(images: DataFrame) -> DataFrame:
+    """Decode + per-image quality statistics, Arrow-batched (the image
+    analog of the Gopher text battery). Input needs (image_id, bytes,
+    fmt); output IMAGE_STATS_SCHEMA. One narrow pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [
+            "image_id", "w", "h", "min_dim", "aspect_bucket",
+            "px_sum", "px_sq_sum", "entropy", "luma_mean", "keep",
+        ]
+        for pdf in batches:
+            rows = [
+                image_stats_py(iid, I.decode(b, f))
+                for iid, b, f in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=names)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=IMAGE_STATS_SCHEMA
+    )

@@ -1,0 +1,48 @@
+"""Image quality stats + aspect bucketing (the LAION/DataComp filters)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_search_spark.operators.image_ops import (
+    image_quality_stats,
+    image_stats_py,
+)
+from osm_search_spark.sources import images as img_src
+
+
+def test_stats_function_invariants():
+    flat = np.full((64, 64, 3), 128, dtype=np.uint8)
+    s = image_stats_py("flat", flat)
+    # zero variance, zero entropy -> dropped
+    assert s[7] == 0.0 and s[9] is False and s[8] == 128.0
+    grad = (np.linspace(0, 255, 64)[None, :, None]
+            * np.ones((64, 1, 3))).astype(np.uint8)
+    g = image_stats_py("grad", grad)
+    assert g[9] is True and g[7] > 4.0
+    tiny = image_stats_py("tiny", np.full((32, 96, 3), 100, dtype=np.uint8))
+    assert tiny[3] == 32 and tiny[9] is False
+    wide = image_stats_py("wide", grad[:16, :, :])  # 16x64 -> 1:4 band
+    assert wide[4] == "4:1" and wide[9] is False  # aspect 4 > 3
+
+
+def test_distributed_stats_match_driver_compute(spark):
+    from osm_search_spark.functions import images as I
+
+    got = {
+        r["image_id"]: r
+        for r in image_quality_stats(img_src.images_table(spark, 36)).collect()
+    }
+    assert len(got) == 36
+    keeps = set()
+    for i in range(36):
+        r = img_src.make_row(i)
+        want = image_stats_py(r["image_id"], I.decode(r["bytes"], r["fmt"]))
+        g = got[r["image_id"]]
+        assert (
+            g["w"], g["h"], g["min_dim"], g["aspect_bucket"],
+            g["px_sum"], g["px_sq_sum"], g["entropy"], g["luma_mean"],
+            g["keep"],
+        ) == want[1:]
+        keeps.add(g["keep"])
+    assert keeps == {True, False}  # 32px rows drop, 64/128 keep
