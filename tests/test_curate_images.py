@@ -1,0 +1,59 @@
+"""End-to-end image+caption curation job: stage outputs, filtering
+semantics, lineage resume."""
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/jobs")
+
+
+def test_curation_job_end_to_end_and_resume(spark, tmp_path):
+    import curate_images as job
+
+    base = str(tmp_path / "curated")
+    quality, dedup, captions, curated = job.run(
+        spark, base, synth_n=120, tile_res=14
+    )
+    n_img = 120
+    assert quality.count() == n_img
+    assert dedup.count() == n_img
+    assert captions.count() == n_img
+
+    rows = curated.collect()
+    ids = {r["image_id"] for r in rows}
+    # quality drops every 32px-sided image; dedup keeps canonical only
+    kept_q = {r["image_id"] for r in quality.filter("keep").collect()}
+    canon = {r["image_id"] for r in dedup.filter("is_canonical").collect()}
+    assert ids == kept_q & canon
+    assert 0 < len(ids) < n_img
+    # tile columns present and consistent
+    for r in rows[:5]:
+        assert r["tile_id"] > 0 and r["parent_cell"] > 0
+        assert r["caption_margin"] is not None
+
+    # resume: a second run with the same snapshot reuses every committed
+    # stage (job count stays tiny; outputs identical)
+    q2, d2, c2, cur2 = job.run(spark, base, synth_n=120, tile_res=14)
+    assert {r["image_id"] for r in cur2.collect()} == ids
+
+    # parameter change re-gates: curated rebuilds (the snapshot encodes
+    # the margin), an always-true caption margin reproduces the same set
+    _, _, _, cur3 = job.run(
+        spark, base, synth_n=120, tile_res=14, caption_margin=-1e9
+    )
+    assert {r["image_id"] for r in cur3.collect()} == ids
+
+
+def test_curated_output_partition_pruning(spark, tmp_path):
+    import curate_images as job
+
+    base = str(tmp_path / "curated2")
+    job.run(spark, base, synth_n=60, tile_res=14)
+    out = spark.read.parquet(f"{base}/curated")
+    one_parent = out.select("parent_cell").first()["parent_cell"]
+    plan = (
+        out.filter(F.col("parent_cell") == one_parent)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(parent_cell" in plan
