@@ -2791,6 +2791,156 @@ from (values
 """
 
 
+# Q26k (round 7): line x polygon overlay length — "road km per district"
+# (operators/line_stats.py) over the synth streets x the donut + concave
+# fixtures (crossing splits, concave double-crossings, hole exclusion all
+# exercised). The twin embeds the SAME normalized edge set (driver-side
+# mirror of _poly_edges_dim: outer CCW, holes CW) and reruns the
+# identical crossing-param + midpoint-winding + haversine arithmetic
+# brute-force; libm -> 6dp rounding on the summed lengths.
+def _line_edges_py(rl, rn, holes_lat=(), holes_lon=()):
+    def closed(la, lo):
+        la, lo = list(la), list(lo)
+        if la[0] != la[-1] or lo[0] != lo[-1]:
+            la, lo = la + [la[0]], lo + [lo[0]]
+        return la, lo
+
+    def shoe(la, lo):
+        return sum(
+            lo[i] * la[i + 1] - lo[i + 1] * la[i] for i in range(len(la) - 1)
+        )
+
+    out = []
+
+    def add(la, lo, ccw):
+        la, lo = closed(la, lo)
+        s = shoe(la, lo)
+        if (s < 0) if ccw else (s > 0):
+            la, lo = la[::-1], lo[::-1]
+        for i in range(len(la) - 1):
+            out.append((la[i], lo[i], la[i + 1], lo[i + 1]))
+
+    add(rl, rn, ccw=True)
+    for hl, hn in zip(holes_lat, holes_lon):
+        add(hl, hn, ccw=False)
+    return out
+
+
+def q_road_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.line_stats import line_length_in_polygons
+    from osm_search_spark.sources import osm as osm_src
+
+    nodes, ways, _ = osm_src.synth_osm(spark)
+    streets = (
+        osm_src.assemble_ways(ways, nodes)
+        .filter(F.map_contains_key("tags", "highway"))
+        .select("id", "lats", "lons")
+    )
+    return line_length_in_polygons(streets, _labels_polys(spark))
+
+
+def sql_road_lengths() -> str:
+    from osm_search_spark.sources import osm as osm_src
+
+    # street segments (same closed form as the snap twin)
+    nodes, ways, _ = osm_src.synth_osm_py()
+    node_pos = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
+    seg_rows = []
+    for w in ways:
+        if "highway" not in w["tags"]:
+            continue
+        ids = w["node_ids"]
+        for i in range(len(ids) - 1):
+            (alat, alon), (blat, blon) = node_pos[ids[i]], node_pos[ids[i + 1]]
+            seg_rows.append(
+                f"({w['id']}, {i}, {synth.dlit(alat)}, {synth.dlit(alon)}, "
+                f"{synth.dlit(blat)}, {synth.dlit(blon)})"
+            )
+    # polygon edges, normalized exactly like _poly_edges_dim
+    edge_rows = []
+    for pid, rl, rn, hl, hn in synth.DONUT_POLYGONS:
+        for e in _line_edges_py(rl, rn, hl, hn):
+            edge_rows.append(
+                f"({pid}, " + ", ".join(synth.dlit(v) for v in e) + ")"
+            )
+    for pid, rl, rn in synth.CONCAVE_POLYGONS:
+        for e in _line_edges_py(rl, rn):
+            edge_rows.append(
+                f"({pid + 100}, " + ", ".join(synth.dlit(v) for v in e) + ")"
+            )
+    # P(t) on the segment
+    plat_t = "(alat + {t} * (blat - alat))"
+    plon_t = "(alon + {t} * (blon - alon))"
+    hav = haversine_km_sql(
+        plat_t.format(t="t0"), plon_t.format(t="t0"),
+        plat_t.format(t="t1"), plon_t.format(t="t1"),
+    )
+    mlat, mlon = plat_t.format(t="tm"), plon_t.format(t="tm")
+    t_expr = (
+        "((e[2] - alon) * (e[3] - e[1]) - (e[1] - alat) * (e[4] - e[2]))"
+        " / ((blon - alon) * (e[3] - e[1]) - (blat - alat) * (e[4] - e[2]))"
+    )
+    u_expr = (
+        "((e[2] - alon) * (blat - alat) - (e[1] - alat) * (blon - alon))"
+        " / ((blon - alon) * (e[3] - e[1]) - (blat - alat) * (e[4] - e[2]))"
+    )
+    den = "((blon - alon) * (e[3] - e[1]) - (blat - alat) * (e[4] - e[2]))"
+    dwn = (
+        "case when e[1] <= {mlat} and e[3] > {mlat} and "
+        "((e[4] - e[2]) * ({mlat} - e[1]) - ({mlon} - e[2]) * (e[3] - e[1])) > 0 then 1 "
+        "when e[1] > {mlat} and e[3] <= {mlat} and "
+        "((e[4] - e[2]) * ({mlat} - e[1]) - ({mlon} - e[2]) * (e[3] - e[1])) < 0 then -1 "
+        "else 0 end"
+    ).format(mlat=mlat, mlon=mlon)
+    on_seg = (
+        "({mlon} >= least(e[2], e[4]) and {mlon} <= greatest(e[2], e[4]) "
+        "and {mlat} >= least(e[1], e[3]) and {mlat} <= greatest(e[1], e[3]))"
+    ).format(mlat=mlat, mlon=mlon)
+    return f"""
+with segs as (select * from (values
+{",".join(seg_rows)}
+) s(way_id, seg_idx, alat, alon, blat, blon)),
+edges_raw as (select * from (values
+{",".join(edge_rows)}
+) e(polygon_id, ealat, ealon, eblat, eblon)),
+poly_edges as (
+  select polygon_id,
+         list([ealat, ealon, eblat, eblon]) as edges
+  from edges_raw group by polygon_id
+),
+pairs as (select * from segs cross join poly_edges),
+split as (
+  select way_id, seg_idx, polygon_id, alat, alon, blat, blon, edges,
+         list_sort([0.0] || [{t_expr} for e in edges
+                    if {den} <> 0 and {u_expr} >= 0 and {u_expr} <= 1
+                       and {t_expr} > 0 and {t_expr} < 1] || [1.0]) as ts
+  from pairs
+),
+piece_rows as (
+  select way_id, seg_idx, polygon_id, alat, alon, blat, blon, edges, ts,
+         unnest(generate_series(1, len(ts) - 1)) as k
+  from split
+),
+pieces as (
+  select way_id, seg_idx, polygon_id, alat, alon, blat, blon, edges,
+         ts[k] as t0, ts[k+1] as t1, (ts[k] + ts[k+1]) / 2.0 as tm
+  from piece_rows
+),
+inside_pieces as (
+  select way_id, seg_idx, polygon_id, t0, t1, alat, alon, blat, blon
+  from pieces
+  where coalesce(list_sum([{dwn} for e in edges]), 0) <> 0
+     or len(list_filter(edges, e -> {on_seg})) > 0
+)
+select cast(way_id as bigint) as way_id,
+       cast(polygon_id as bigint) as polygon_id,
+       round(sum({hav}), 6) as length_km
+from inside_pieces
+group by way_id, polygon_id
+having round(sum({hav}), 6) > 0
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3659,12 +3809,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "image_quality", "polygon_labels", "compact_cover", "snap_streets",
-    "quality_classifier", "dissolve_admin", "multi_outer_pip",
+    "road_lengths", "image_quality", "polygon_labels", "compact_cover",
+    "snap_streets", "quality_classifier", "dissolve_admin",
+    "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 52  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 53  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3700,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "road_lengths": q_road_lengths,
         "image_quality": q_image_quality,
         "polygon_labels": q_polygon_labels,
         "compact_cover": q_compact_cover,
@@ -3794,6 +3946,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "road_lengths": sql_road_lengths(),
         "image_quality": sql_image_quality(),
         "polygon_labels": sql_polygon_labels(),
         "compact_cover": sql_compact_cover(),
