@@ -2941,6 +2941,51 @@ having round(sum({hav}), 6) > 0
 """
 
 
+# Q26l (round 7): embedding-space decontamination (semantic complement
+# of the 13-gram collision join): corpus docs whose embedding is
+# near-identical to any benchmark doc's flag as contaminated. Benchmark
+# = every 17th embedding (planted identicals -> cos == ~1), exact path
+# for the gate (the LSH-restricted default is parity-tested in pytest).
+_SEMDECON_THRESHOLD = 0.95
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.decontaminate import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    return semantic_decontaminate(
+        emb, bench, threshold=_SEMDECON_THRESHOLD, n_planes=None
+    )
+
+
+def sql_semantic_decontaminate() -> str:
+    dot = "list_sum([cv[i] * bv[i] for i in generate_series(1, len(cv))])"
+    nc = "sqrt(list_sum([cv[i] * cv[i] for i in generate_series(1, len(cv))]))"
+    nb = "sqrt(list_sum([bv[i] * bv[i] for i in generate_series(1, len(bv))]))"
+    return f"""
+with emb as (
+  select vec_id, cast(embedding as double[]) as vec from embeddings
+),
+bench as (select vec_id as bench_id, vec as bv from emb where vec_id % 17 = 0),
+scored as (
+  select e.vec_id, b.bench_id, {dot} / ({nc} * {nb}) as cosv
+  from (select vec_id, vec as cv from emb) e cross join bench b
+),
+hits as (
+  select vec_id, bench_id, cosv,
+         row_number() over (partition by vec_id
+                            order by cosv desc, bench_id desc) as rk
+  from scored where cosv >= {_SEMDECON_THRESHOLD}
+)
+select e.vec_id,
+       h.bench_id is not null as contaminated,
+       h.bench_id as bench_match,
+       round(h.cosv, 5) as max_cos
+from emb e left join (select * from hits where rk = 1) h using (vec_id)
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3809,13 +3854,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "road_lengths", "image_quality", "polygon_labels", "compact_cover",
-    "snap_streets", "quality_classifier", "dissolve_admin",
-    "multi_outer_pip",
+    "semantic_decontaminate", "road_lengths", "image_quality",
+    "polygon_labels", "compact_cover", "snap_streets",
+    "quality_classifier", "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 53  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 54  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3851,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "semantic_decontaminate": q_semantic_decontaminate,
         "road_lengths": q_road_lengths,
         "image_quality": q_image_quality,
         "polygon_labels": q_polygon_labels,
@@ -3946,6 +3992,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "semantic_decontaminate": sql_semantic_decontaminate(),
         "road_lengths": sql_road_lengths(),
         "image_quality": sql_image_quality(),
         "polygon_labels": sql_polygon_labels(),

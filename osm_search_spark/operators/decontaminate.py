@@ -409,3 +409,65 @@ select dg.doc_id, bgc.bench_id, count(*) as n_collisions
 from dg join bgc using (gh)
 group by 1, 2
 """
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    bench_id: str = "vec_id",
+    bench_vec: str = "embedding",
+    n_planes: int | None = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic complement of the
+    13-gram collision join above: a corpus document is contaminated when
+    its embedding is near-identical (cosine >= threshold) to ANY
+    benchmark document's, catching paraphrased/reformatted benchmark
+    leakage that exact n-grams miss (the published complement: n-gram +
+    embedding dedup against eval sets).
+
+    Output covers the WHOLE corpus: (vec_id, contaminated, bench_match,
+    max_cos) — bench_match/max_cos null for clean rows. Candidates are
+    LSH-bucket-restricted by default against the BROADCAST benchmark dim
+    (benchmarks are small; the corpus is the 100 TB side — no corpus
+    self-join, no cross join); n_planes=None is the exact path for
+    oracle checking and small dims. Argmax tie-break: highest cosine,
+    then highest bench id (mirrored in the twin)."""
+    from .similarity import cosine, hyperplanes, lsh_signature
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("cv")
+    )
+    b = benchmark.select(
+        F.col(bench_id).alias("bench_id"), F.col(bench_vec).alias("bv")
+    )
+    if n_planes:
+        dim = len(benchmark.select(bench_vec).first()[0])
+        planes = hyperplanes(dim, n_planes, seed)
+        cand = c.withColumn("sig", lsh_signature(F.col("cv"), planes)).join(
+            F.broadcast(b.withColumn("sig", lsh_signature(F.col("bv"), planes))),
+            "sig",
+        )
+    else:
+        cand = c.crossJoin(F.broadcast(b))
+    hits = cand.withColumn("cos", cosine(F.col("cv"), F.col("bv"))).filter(
+        F.col("cos") >= threshold
+    )
+    best = hits.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos").alias("cos"), F.col("bench_id").alias("b"))
+        ).alias("m")
+    )
+    return (
+        corpus.select(F.col(corpus_id).alias("vec_id"))
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("m").isNotNull().alias("contaminated"),
+            F.col("m.b").alias("bench_match"),
+            F.round("m.cos", 5).alias("max_cos"),
+        )
+    )
