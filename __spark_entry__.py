@@ -2986,6 +2986,50 @@ from emb e left join (select * from hits where rk = 1) h using (vec_id)
 """
 
 
+# Q26m (round 7): overview-tile aggregation pyramid — per-cell point
+# counts at res 14 rolled up level by level to res 10 (one groupBy per
+# level over a 4x-shrinking frame; the fact table is scanned ONCE). The
+# twin unrolls the same parent-sum cascade; every DuckDB integer sum is
+# cast to bigint (the round-6 HUGEINT rule). Integer-exact hash compare.
+_PYR_MAX_RES, _PYR_MIN_RES = 14, 10
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.compaction import tile_pyramid
+
+    return tile_pyramid(
+        synth.derive_points(spark, sf_dir), _PYR_MAX_RES, _PYR_MIN_RES
+    )
+
+
+def sql_tile_pyramid() -> str:
+    from osm_search_spark.operators.compaction import parent_sql
+
+    cell = C.latlng_to_cell_sql("lat", "lon", _PYR_MAX_RES)
+    ctes = [
+        f"pts as ({synth.points_sql()})",
+        f"l{_PYR_MAX_RES} as (select {cell} as cell_id, "
+        f"cast(count(*) as bigint) as n from pts group by 1)",
+    ]
+    for r in range(_PYR_MAX_RES, _PYR_MIN_RES, -1):
+        ctes.append(
+            f"l{r - 1} as (select {parent_sql('cell_id', r)} as cell_id, "
+            f"cast(sum(n) as bigint) as n from l{r} group by 1)"
+        )
+    union = "\nunion all ".join(
+        f"select cell_id, n from l{r}"
+        for r in range(_PYR_MAX_RES, _PYR_MIN_RES - 1, -1)
+    )
+    return (
+        "with " + ",\n".join(ctes) + f"""
+select cell_id,
+       cast(cell_id // {C.RES_BITS_SHIFT} as int) as res,
+       n
+from ({union})
+"""
+    )
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3854,13 +3898,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "semantic_decontaminate", "road_lengths", "image_quality",
-    "polygon_labels", "compact_cover", "snap_streets",
+    "tile_pyramid", "semantic_decontaminate", "road_lengths",
+    "image_quality", "polygon_labels", "compact_cover", "snap_streets",
     "quality_classifier", "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 54  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 55  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3896,6 +3940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "tile_pyramid": q_tile_pyramid,
         "semantic_decontaminate": q_semantic_decontaminate,
         "road_lengths": q_road_lengths,
         "image_quality": q_image_quality,
@@ -3992,6 +4037,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "tile_pyramid": sql_tile_pyramid(),
         "semantic_decontaminate": sql_semantic_decontaminate(),
         "road_lengths": sql_road_lengths(),
         "image_quality": sql_image_quality(),

@@ -115,3 +115,41 @@ def uncompact_cells(
             + F.col("_dy")
         ).alias("cell_id")
     )
+
+
+def tile_pyramid(
+    points: DataFrame,
+    max_res: int,
+    min_res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    weight: str | None = None,
+) -> DataFrame:
+    """Overview-tile aggregation pyramid — the tiling-engine rollup that
+    serves zoomed-out views without rescanning the corpus: counts (or
+    weighted sums) per cell at max_res, then rolled up level by level
+    through the parent relation (each level is ONE groupBy over a frame
+    4x smaller than the last — the classic OLAP rollup, log depth, never
+    re-touching the fact table). Output: (cell_id, res, n) for every
+    level in [min_res, max_res]."""
+    base = points.groupBy(
+        C.latlng_to_cell(lat, lon, max_res).alias("cell_id")
+    ).agg(
+        (F.sum(weight) if weight else F.count(F.lit(1))).alias("n")
+    )
+    levels = [base.localCheckpoint(eager=True)]
+    for r in range(max_res, min_res, -1):
+        levels.append(
+            levels[-1]
+            .groupBy(_parent_expr(F.col("cell_id"), r).alias("cell_id"))
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "cell_id",
+        (F.col("cell_id") / F.lit(C.RES_BITS_SHIFT)).cast("int").alias("res"),
+        "n",
+    )

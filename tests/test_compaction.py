@@ -72,3 +72,33 @@ def synth_points(spark):
     from osm_search_spark.sources import synth
 
     return synth.derive_points(spark, "/root/testdata/sf0.01")
+
+
+def test_tile_pyramid_invariants(spark):
+    from osm_search_spark.operators.compaction import tile_pyramid
+
+    pts = synth_points(spark)
+    total = pts.count()
+    pyr = tile_pyramid(pts, RES, 10).collect()
+    by_res = {}
+    for r in pyr:
+        by_res.setdefault(r["res"], {})[r["cell_id"]] = r["n"]
+    assert sorted(by_res) == [10, 11, 12, 13, 14]
+    # mass conservation at every level
+    for res, cells in by_res.items():
+        assert sum(cells.values()) == total, res
+    # every parent equals the sum of its children
+    for r in range(RES, 10, -1):
+        for cell, n in by_res[r - 1].items():
+            ix = (cell % C.RES_BITS_SHIFT) // C.IX_SHIFT
+            iy = cell % C.IX_SHIFT
+            kids = sum(
+                by_res[r].get(
+                    r * C.RES_BITS_SHIFT + (2 * ix + dx) * C.IX_SHIFT
+                    + 2 * iy + dy,
+                    0,
+                )
+                for dx in (0, 1)
+                for dy in (0, 1)
+            )
+            assert kids == n, (r, cell)
