@@ -3030,6 +3030,71 @@ from ({union})
     )
 
 
+# Q26n (round 7): IDW interpolation surface (smoothed Shepard) — point
+# samples -> per-cell raster values over the k-ring neighborhoods
+# (operators/interpolate.py). Sample values derive from the key
+# identically on both engines; the twin mirrors the ring explode (same
+# wrap/clamp formulas as cells.k_ring) and the weight arithmetic
+# (haversine -> 6dp rounding on the final ratio).
+_IDW_RES, _IDW_K, _IDW_EPS = 12, 1, 0.1
+_IDW_VALUE_EXPR = "(cast(o_orderkey % 997 as double) / 10.0)"
+
+
+def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.interpolate import idw_interpolate
+
+    samples = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.expr(synth.LAT_EXPR).alias("lat"),
+            F.expr(synth.LON_EXPR).alias("lon"),
+            F.expr(_IDW_VALUE_EXPR).alias("value"),
+        )
+    )
+    return idw_interpolate(
+        samples, _IDW_RES, k=_IDW_K, eps_km=_IDW_EPS
+    )
+
+
+def sql_idw_surface() -> str:
+    res, k = _IDW_RES, _IDW_K
+    nx, ny = 2 << res, 1 << res
+    size = C.cell_size_deg(res)
+    base = C.latlng_to_cell_sql("slat", "slon", res)
+    # ring cell from (base ix/iy, dx, dy): lon wraps, lat clamps
+    ix = f"((({base}) % {C.RES_BITS_SHIFT}) // {C.IX_SHIFT})"
+    iy = f"(({base}) % {C.IX_SHIFT})"
+    wix = f"((({ix}) + dx + {nx}) % {nx})"
+    wiy = f"least(greatest(({iy}) + dy, 0), {ny - 1})"
+    cell = f"({res * C.RES_BITS_SHIFT} + {wix} * {C.IX_SHIFT} + {wiy})"
+    clat = f"((({cell}) % {C.IX_SHIFT}) + 0.5) * {size!r} - 90.0"
+    clon = (
+        f"(((({cell}) % {C.RES_BITS_SHIFT}) // {C.IX_SHIFT}) + 0.5)"
+        f" * {size!r} - 180.0"
+    )
+    hav = haversine_km_sql(f"({clat})", f"({clon})", "slat", "slon")
+    from osm_search_spark.sources.synth import dlit
+
+    w = f"(1.0 / (({hav}) * ({hav}) + {dlit(_IDW_EPS * _IDW_EPS)}))"
+    return f"""
+with samples as (
+  select {synth.LAT_EXPR} as slat, {synth.LON_EXPR} as slon,
+         {_IDW_VALUE_EXPR} as v
+  from orders
+),
+dxs as (select slat, slon, v, unnest(generate_series(-{k}, {k})) as dx
+        from samples),
+ringed as (select slat, slon, v, dx,
+                  unnest(generate_series(-{k}, {k})) as dy
+           from dxs)
+select {cell} as cell_id,
+       round(sum({w} * v) / sum({w}), 6) as value,
+       count(*) as n_samples
+from ringed
+group by 1
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3898,13 +3963,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "tile_pyramid", "semantic_decontaminate", "road_lengths",
+    "idw_surface", "tile_pyramid", "semantic_decontaminate", "road_lengths",
     "image_quality", "polygon_labels", "compact_cover", "snap_streets",
     "quality_classifier", "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 55  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 56  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -3940,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "idw_surface": q_idw_surface,
         "tile_pyramid": q_tile_pyramid,
         "semantic_decontaminate": q_semantic_decontaminate,
         "road_lengths": q_road_lengths,
@@ -4037,6 +4103,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "idw_surface": sql_idw_surface(),
         "tile_pyramid": sql_tile_pyramid(),
         "semantic_decontaminate": sql_semantic_decontaminate(),
         "road_lengths": sql_road_lengths(),
