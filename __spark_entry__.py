@@ -3095,6 +3095,70 @@ group by 1
 """
 
 
+# Q26o (round 7): visual similarity search — per probe pHash, the top-k
+# corpus images by hamming distance (image_ops.phash_topk). At the
+# default max_hamming=3 the 16-bit band candidates are EXHAUSTIVE by
+# pigeonhole (3 differing bits touch at most 3 of 4 bands), so the
+# banded Spark path equals the twin's brute force EXACTLY — integer
+# hamming, no rounding. Probes = every 37th image (self-match at rank 1
+# guarantees non-trivial output); phashes re-synthesized driver-side.
+_PHS_N, _PHS_K, _PHS_MAXH = 240, 5, 3
+
+
+def q_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.image_ops import phash_topk
+    from osm_search_spark.sources import images as img_src
+
+    corpus = img_src.images_table(spark, _PHS_N).select("image_id", "phash")
+    # probes = every 37th image's hash with 1-2 LOW bits flipped (the
+    # "slightly edited image" search case): bit positions stay < 29 so
+    # the same mask arithmetic is portable to DuckDB (round-4 shift rule)
+    idx = F.regexp_extract("image_id", "img_0*([0-9]+)", 1).cast("long")
+    pow2 = F.array(*[F.lit(1 << b) for b in range(29)])
+    mask = F.element_at(pow2, (idx % 29 + 1).cast("int")).bitwiseOR(
+        F.element_at(pow2, ((idx * 7 + 13) % 29 + 1).cast("int"))
+    )
+    probes = corpus.filter(idx % 37 == 0).select(
+        F.concat(F.lit("probe_"), idx.cast("string")).alias("probe_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    return phash_topk(probes, corpus, k=_PHS_K, max_hamming=_PHS_MAXH)
+
+
+def sql_phash_search() -> str:
+    from osm_search_spark.sources import images as img_src
+
+    rows = []
+    probe_rows = []
+    for i in range(_PHS_N):
+        r = img_src.make_row(i)
+        rows.append(f"('{r['image_id']}', {r['phash']})")
+        if i % 37 == 0:
+            mask = (1 << (i % 29)) | (1 << ((i * 7 + 13) % 29))
+            probe_rows.append(f"('probe_{i}', {r['phash'] ^ mask})")
+    return f"""
+with corpus as (select * from (values
+{",".join(rows)}
+) c(image_id, phash)),
+probes as (select * from (values
+{",".join(probe_rows)}
+) p(probe_id, ph)),
+scored as (
+  select p.probe_id, c.image_id,
+         cast(bit_count(xor(p.ph, c.phash)) as int) as hamming
+  from probes p cross join corpus c
+),
+ranked as (
+  select probe_id, image_id, hamming,
+         row_number() over (partition by probe_id
+                            order by hamming, image_id) as rk
+  from scored where hamming <= {_PHS_MAXH}
+)
+select probe_id, cast(rk as int) as rank, image_id, hamming
+from ranked where rk <= {_PHS_K}
+"""
+
+
 # Q27b: the north-rule spine over the ACTUAL input shape — geotagged
 # image+caption records -> cell-cover PIP join -> tile ids. The oracle
 # re-synthesizes the deterministic image rows DRIVER-SIDE (make_row is
@@ -3963,13 +4027,14 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "idw_surface", "tile_pyramid", "semantic_decontaminate", "road_lengths",
+    "phash_search", "idw_surface", "tile_pyramid",
+    "semantic_decontaminate", "road_lengths",
     "image_quality", "polygon_labels", "compact_cover", "snap_streets",
     "quality_classifier", "dissolve_admin", "multi_outer_pip",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 56  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 57  # +1 per round-7 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -4005,6 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "phash_search": q_phash_search,
         "idw_surface": q_idw_surface,
         "tile_pyramid": q_tile_pyramid,
         "semantic_decontaminate": q_semantic_decontaminate,
@@ -4103,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "phash_search": sql_phash_search(),
         "idw_surface": sql_idw_surface(),
         "tile_pyramid": sql_tile_pyramid(),
         "semantic_decontaminate": sql_semantic_decontaminate(),

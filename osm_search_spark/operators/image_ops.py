@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import images as I
@@ -259,4 +259,52 @@ def image_quality_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=IMAGE_STATS_SCHEMA
+    )
+
+
+def phash_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    max_hamming: int = 16,
+    probe_id: str = "probe_id",
+    probe_hash: str = "phash",
+) -> DataFrame:
+    """Visual similarity SEARCH: for each probe pHash, the k most similar
+    corpus images by hamming distance (<= max_hamming). Candidates come
+    from the same 16-bit band buckets as the dedup join — the probe set
+    is the SMALL side and broadcasts; the corpus never self-joins and
+    never sorts globally. Rank ties break on image_id (deterministic).
+    Output: (probe_id, rank, image_id, hamming)."""
+    bands = lambda h: [
+        (F.shiftrightunsigned(h, b * 16).bitwiseAND(F.lit(0xFFFF))).alias(
+            f"b{b}"
+        )
+        for b in range(4)
+    ]
+    c = corpus.select(F.col("image_id"), F.col("phash"), *bands(F.col("phash")))
+    p = probes.select(
+        F.col(probe_id).alias("_pid"),
+        F.col(probe_hash).alias("_ph"),
+        *bands(F.col(probe_hash)),
+    )
+    cand = None
+    for b in range(4):
+        j = c.join(
+            F.broadcast(p.select("_pid", "_ph", f"b{b}")), f"b{b}"
+        ).select("_pid", "_ph", "image_id", "phash")
+        cand = j if cand is None else cand.unionByName(j)
+    ham = F.bit_count(F.col("_ph").bitwiseXOR(F.col("phash"))).cast("int")
+    scored = (
+        cand.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    w = Window.partitionBy("_pid").orderBy("hamming", "image_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias("probe_id"), "rank", "image_id", "hamming"
+        )
     )

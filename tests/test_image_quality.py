@@ -46,3 +46,25 @@ def test_distributed_stats_match_driver_compute(spark):
         ) == want[1:]
         keeps.add(g["keep"])
     assert keeps == {True, False}  # 32px rows drop, 64/128 keep
+
+
+def test_phash_topk_finds_perturbed_source(spark):
+    """A probe hash = a corpus hash with 2 low bits flipped must rank its
+    source image first at hamming 2 (band candidates exhaustive at
+    max_hamming <= 3 by pigeonhole); self-probes rank self at 0."""
+    from osm_search_spark.operators.image_ops import phash_topk
+
+    corpus = img_src.images_table(spark, 60).select("image_id", "phash")
+    probes = spark.createDataFrame(
+        [
+            ("edited_5", img_src.make_row(5)["phash"] ^ (1 << 3) ^ (1 << 17)),
+            ("exact_9", img_src.make_row(9)["phash"]),
+        ],
+        "probe_id string, phash long",
+    )
+    got = {
+        (r["probe_id"], r["rank"]): (r["image_id"], r["hamming"])
+        for r in phash_topk(probes, corpus, k=3, max_hamming=3).collect()
+    }
+    assert got[("edited_5", 1)] == (img_src.make_row(5)["image_id"], 2)
+    assert got[("exact_9", 1)] == (img_src.make_row(9)["image_id"], 0)
