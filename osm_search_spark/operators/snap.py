@@ -138,16 +138,27 @@ def snap_to_segments(
         C.latlng_to_cell(lat, lon, res).alias("cell_id"),
     )
     cand = pts.join(cover, "cell_id")
-    dist = haversine_km(
-        F.col("plat"), F.col("plon"),
-        F.expr(SNAP_LAT_EXPR), F.expr(SNAP_LON_EXPR),
-    )
-    refined = cand.select(
-        "point_id", "way_id", "seg_idx",
+    # STACKED projections (round-3 discipline): t materializes once, the
+    # snap point reads the materialized _t, the distance reads the
+    # materialized snap point — inlining T_EXPR into all four would
+    # re-evaluate the fold ~4x per candidate (measured ~2x wall). Values
+    # are identical to the inlined twin text (same arithmetic on the
+    # same t), so oracle parity is unaffected.
+    with_t = cand.select(
+        "point_id", "way_id", "seg_idx", "plat", "plon",
+        "alat", "alon", "blat", "blon",
         F.expr(T_EXPR).alias("_t"),
-        F.expr(SNAP_LAT_EXPR).alias("_slat"),
-        F.expr(SNAP_LON_EXPR).alias("_slon"),
-        dist.alias("_d"),
+    )
+    with_snap = with_t.select(
+        "point_id", "way_id", "seg_idx", "plat", "plon", "_t",
+        (F.col("alat") + F.col("_t") * (F.col("blat") - F.col("alat"))).alias("_slat"),
+        (F.col("alon") + F.col("_t") * (F.col("blon") - F.col("alon"))).alias("_slon"),
+    )
+    refined = with_snap.select(
+        "point_id", "way_id", "seg_idx", "_t", "_slat", "_slon",
+        haversine_km(
+            F.col("plat"), F.col("plon"), F.col("_slat"), F.col("_slon")
+        ).alias("_d"),
     ).filter(F.round("_d", 6) <= radius_km)
     best = refined.groupBy("point_id").agg(
         F.min(
