@@ -2743,7 +2743,7 @@ select cast(c.polygon_id as bigint) as polygon_id,
        case when c.s <> 0 then c.y0 + c.ny / (3.0 * c.s) end as clat,
        case when c.s <> 0 then c.x0 + c.nx / (3.0 * c.s) end as clon,
        p.y as pos_lat, p.mid as pos_lon
-from combined c join pos p on c.polygon_id = p.polygon_id and p.rk = 1
+from combined c left join pos p on c.polygon_id = p.polygon_id and p.rk = 1
 """
 
 
@@ -3067,9 +3067,13 @@ def sql_idw_surface() -> str:
     wix = f"((({ix}) + dx + {nx}) % {nx})"
     wiy = f"least(greatest(({iy}) + dy, 0), {ny - 1})"
     cell = f"({res * C.RES_BITS_SHIFT} + {wix} * {C.IX_SHIFT} + {wiy})"
-    clat = f"((({cell}) % {C.IX_SHIFT}) + 0.5) * {size!r} - 90.0"
+    # Spark's k_ring array_distinct-s per sample: wrap/clamp collisions
+    # (near a pole or on a narrow grid) collapse to ONE cell per sample.
+    # Mirror that with a DISTINCT keyed by the sample row (sid), so two
+    # identical sample rows still both contribute (ADVICE round 7).
+    clat = f"(((cell_id) % {C.IX_SHIFT}) + 0.5) * {size!r} - 90.0"
     clon = (
-        f"(((({cell}) % {C.RES_BITS_SHIFT}) // {C.IX_SHIFT}) + 0.5)"
+        f"((((cell_id) % {C.RES_BITS_SHIFT}) // {C.IX_SHIFT}) + 0.5)"
         f" * {size!r} - 180.0"
     )
     hav = haversine_km_sql(f"({clat})", f"({clon})", "slat", "slon")
@@ -3078,19 +3082,21 @@ def sql_idw_surface() -> str:
     w = f"(1.0 / (({hav}) * ({hav}) + {dlit(_IDW_EPS * _IDW_EPS)}))"
     return f"""
 with samples as (
-  select {synth.LAT_EXPR} as slat, {synth.LON_EXPR} as slon,
+  select o_orderkey as sid, {synth.LAT_EXPR} as slat, {synth.LON_EXPR} as slon,
          {_IDW_VALUE_EXPR} as v
   from orders
 ),
-dxs as (select slat, slon, v, unnest(generate_series(-{k}, {k})) as dx
+dxs as (select sid, slat, slon, v, unnest(generate_series(-{k}, {k})) as dx
         from samples),
-ringed as (select slat, slon, v, dx,
+ringed as (select sid, slat, slon, v, dx,
                   unnest(generate_series(-{k}, {k})) as dy
-           from dxs)
-select {cell} as cell_id,
+           from dxs),
+ringcells as (select distinct sid, slat, slon, v, {cell} as cell_id
+              from ringed)
+select cell_id,
        round(sum({w} * v) / sum({w}), 6) as value,
        count(*) as n_samples
-from ringed
+from ringcells
 group by 1
 """
 

@@ -78,11 +78,13 @@ def latlng_to_cell_sql(lat: str, lon: str, res: int) -> str:
 
 
 def cell_res(cell: Column | str) -> Column:
-    return (_col(cell) / F.lit(RES_BITS_SHIFT)).cast("long")
+    # shiftright, not double division: a double rounds ids above 2^53 and
+    # can bump the res across the 2^58 boundary (exact at every res).
+    return F.shiftright(_col(cell), 58)
 
 
 def cell_ix(cell: Column | str) -> Column:
-    return ((_col(cell) % F.lit(RES_BITS_SHIFT)) / F.lit(IX_SHIFT)).cast("long")
+    return F.shiftright(_col(cell) % F.lit(RES_BITS_SHIFT), 29)
 
 
 def cell_iy(cell: Column | str) -> Column:

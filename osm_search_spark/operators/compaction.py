@@ -26,13 +26,17 @@ from ..functions import cells as C
 
 
 def _parent_expr(cell, r: int):
-    """Parent id at res r-1 of a cell id at res r (integer arithmetic)."""
-    ix = (cell % F.lit(C.RES_BITS_SHIFT)) / F.lit(C.IX_SHIFT)
+    """Parent id at res r-1 of a cell id at res r — EXACT integer
+    arithmetic (shiftright with literal counts, per the round-4 rule).
+    Double division here rounds for res >= ~23 (ix*2^29+iy > 2^53) and can
+    put the parent ix off by one; shifts match the twin's // at every
+    res."""
+    ix = F.shiftright(cell % F.lit(C.RES_BITS_SHIFT), 29)
     iy = cell % F.lit(C.IX_SHIFT)
     return (
         F.lit((r - 1) * C.RES_BITS_SHIFT)
-        + (ix / 2).cast("long") * F.lit(C.IX_SHIFT)
-        + (iy / 2).cast("long")
+        + F.shiftright(ix, 1) * F.lit(C.IX_SHIFT)
+        + F.shiftright(iy, 1)
     )
 
 
@@ -88,11 +92,9 @@ def uncompact_cells(
     (inverse of compact_cells). Two chained explodes over per-row child
     ranges — narrow, no shuffle."""
     c = F.col(cell)
-    r = (c / F.lit(C.RES_BITS_SHIFT)).cast("long")
+    r = F.shiftright(c, 58)
     side = F.pow(F.lit(2.0), (F.lit(res) - r).cast("double")).cast("long")
-    base_ix = ((c % F.lit(C.RES_BITS_SHIFT)) / F.lit(C.IX_SHIFT)).cast(
-        "long"
-    ) * side
+    base_ix = F.shiftright(c % F.lit(C.RES_BITS_SHIFT), 29) * side
     base_iy = (c % F.lit(C.IX_SHIFT)) * side
     prepared = cells.select(
         base_ix.alias("_bx"), base_iy.alias("_by"), side.alias("_side")
@@ -150,6 +152,6 @@ def tile_pyramid(
         out = out.unionByName(lv)
     return out.select(
         "cell_id",
-        (F.col("cell_id") / F.lit(C.RES_BITS_SHIFT)).cast("int").alias("res"),
+        F.shiftright(F.col("cell_id"), 58).cast("int").alias("res"),
         "n",
     )

@@ -271,29 +271,59 @@ def phash_topk(
     probe_hash: str = "phash",
 ) -> DataFrame:
     """Visual similarity SEARCH: for each probe pHash, the k most similar
-    corpus images by hamming distance (<= max_hamming). Candidates come
-    from the same 16-bit band buckets as the dedup join — the probe set
-    is the SMALL side and broadcasts; the corpus never self-joins and
-    never sorts globally. Rank ties break on image_id (deterministic).
-    Output: (probe_id, rank, image_id, hamming)."""
-    bands = lambda h: [
-        (F.shiftrightunsigned(h, b * 16).bitwiseAND(F.lit(0xFFFF))).alias(
-            f"b{b}"
+    corpus images by hamming distance (<= max_hamming). EXACT at every
+    max_hamming via multi-probe banding: by pigeonhole, two hashes within
+    hamming h differ by <= floor(h/4) bits in SOME 16-bit band, so each
+    probe band is expanded to all variants with <= m = floor(max_hamming/4)
+    flipped bits and any band match surfaces the candidate. The fanout is
+    probe-side only (4 * sum_{i<=m} C(16,i) rows per probe — 4 at
+    max_hamming<=3, 68 at <=7, 548 at <=11, ~10k at 16) and the probe
+    side broadcasts; the corpus is scanned once (one explode to band long
+    format), never self-joins, and never sorts globally. Rank ties break
+    on image_id (deterministic). Output: (probe_id, rank, image_id,
+    hamming)."""
+    spark = probes.sparkSession
+    m = max_hamming // 4
+    # all 16-bit masks with <= m set bits, built as data (not a literal
+    # array — round-6 rule: big literal arrays bloat/bail the plan)
+    variants = spark.range(0, 1 << 16).select(
+        F.col("id").alias("_mask")
+    ).filter(F.bit_count("id") <= m) if m > 0 else None
+
+    def band_no_val(h):
+        # (band_no, band_val) long format: one explode, pure bit ops
+        return F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("_bno"),
+                    F.shiftrightunsigned(h, b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("_bval"),
+                )
+                for b in range(4)
+            ])
         )
-        for b in range(4)
-    ]
-    c = corpus.select(F.col("image_id"), F.col("phash"), *bands(F.col("phash")))
-    p = probes.select(
-        F.col(probe_id).alias("_pid"),
-        F.col(probe_hash).alias("_ph"),
-        *bands(F.col(probe_hash)),
+
+    c = (
+        corpus.select(F.col("image_id"), F.col("phash"), band_no_val(F.col("phash")).alias("_b"))
+        .select("image_id", "phash", F.col("_b._bno").alias("_bno"), F.col("_b._bval").alias("_bval"))
     )
-    cand = None
-    for b in range(4):
-        j = c.join(
-            F.broadcast(p.select("_pid", "_ph", f"b{b}")), f"b{b}"
-        ).select("_pid", "_ph", "image_id", "phash")
-        cand = j if cand is None else cand.unionByName(j)
+    p = (
+        probes.select(
+            F.col(probe_id).alias("_pid"),
+            F.col(probe_hash).alias("_ph"),
+            band_no_val(F.col(probe_hash)).alias("_b"),
+        )
+        .select("_pid", "_ph", F.col("_b._bno").alias("_bno"), F.col("_b._bval").alias("_bval"))
+    )
+    if variants is not None:
+        p = p.crossJoin(F.broadcast(variants)).select(
+            "_pid", "_ph", "_bno",
+            F.col("_bval").bitwiseXOR(F.col("_mask")).alias("_bval"),
+        )
+    cand = c.join(F.broadcast(p), ["_bno", "_bval"]).select(
+        "_pid", "_ph", "image_id", "phash"
+    )
     ham = F.bit_count(F.col("_ph").bitwiseXOR(F.col("phash"))).cast("int")
     scored = (
         cand.distinct()

@@ -68,3 +68,43 @@ def test_phash_topk_finds_perturbed_source(spark):
     }
     assert got[("edited_5", 1)] == (img_src.make_row(5)["image_id"], 2)
     assert got[("exact_9", 1)] == (img_src.make_row(9)["image_id"], 0)
+
+
+def test_phash_topk_multiprobe_exact_recall(spark):
+    """Recall GUARANTEE beyond the single-band hamming<=3 bound: with
+    multi-probe banding, phash_topk at max_hamming=7 (m=1 flipped bit per
+    band variant) must equal driver-side brute force EXACTLY — including
+    probes whose differing bits touch all four 16-bit bands (the case the
+    round-7 single-probe banding silently missed)."""
+    from osm_search_spark.operators.image_ops import phash_topk
+
+    n, k, maxh = 40, 4, 7
+    corpus_rows = [
+        (img_src.make_row(i)["image_id"], img_src.make_row(i)["phash"])
+        for i in range(n)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "image_id string, phash long")
+    # probe = row 7's hash with one bit flipped in EVERY band (hamming 4
+    # to its source): single-probe banding finds NO band match; multi-
+    # probe (m=1) must.
+    allband = img_src.make_row(7)["phash"] ^ (1 << 2) ^ (1 << 19) ^ (1 << 36) ^ (1 << 50)
+    probes_rows = [
+        ("allbands_7", allband),
+        ("edit3_11", img_src.make_row(11)["phash"] ^ (1 << 1) ^ (1 << 30) ^ (1 << 62)),
+        ("exact_0", img_src.make_row(0)["phash"]),
+    ]
+    probes = spark.createDataFrame(probes_rows, "probe_id string, phash long")
+    got = sorted(
+        (r["probe_id"], r["rank"], r["image_id"], r["hamming"])
+        for r in phash_topk(probes, corpus, k=k, max_hamming=maxh).collect()
+    )
+    # driver brute force
+    want = []
+    for pid, ph in probes_rows:
+        scored = sorted(
+            (bin(ph ^ h).count("1"), iid) for iid, h in corpus_rows
+        )
+        ranked = [(h, iid) for h, iid in scored if h <= maxh][:k]
+        want += [(pid, r + 1, iid, h) for r, (h, iid) in enumerate(ranked)]
+    assert got == sorted(want)
+    assert ("allbands_7", 1, img_src.make_row(7)["image_id"], 4) in got

@@ -2,6 +2,9 @@
 weights tuple to pin into operators/quality_clf.py (PINNED_WEIGHTS).
 
 Usage: python tools/train_quality_clf.py [n_docs] [iters] [lr]
+Defaults (2000, 100, 0.5) are the exact parameters PINNED_WEIGHTS was
+recorded with (quality_clf.py provenance comment) so a default rerun
+reproduces the pin bit-for-bit.
 Train split: doc_id % 5 != 0 (held-out fifth evaluated by the pytest).
 """
 
@@ -12,8 +15,8 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 150
-    lr = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    lr = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
 
     from pyspark.sql import functions as F
 
