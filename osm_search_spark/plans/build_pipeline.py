@@ -132,13 +132,16 @@ def dedup_docs(docs: DataFrame) -> DataFrame:
     dup = F.when(
         F.col("e_src").isNotNull() & (contained | contains), 1
     ).otherwise(0)
-    keep = (
-        j.groupBy("name_key", "kind", "src_id")
+    # group by the FULL doc row ((kind, src_id) is unique, so the other
+    # columns are constant within a group) instead of a leftsemi back to
+    # `docs` — that rejoin re-evaluated the whole upstream way/node chain
+    # a second time (round-4 rule: lazy frame consumed by N subtrees)
+    return (
+        j.groupBy(*docs.columns)
         .agg(F.max(dup).alias("is_dup"))
         .filter(F.col("is_dup") == 0)
-        .select("kind", "src_id")
+        .select(*docs.columns)
     )
-    return docs.join(keep, ["kind", "src_id"], "leftsemi")
 
 
 def assign_doc_ids(docs: DataFrame) -> DataFrame:
@@ -153,15 +156,25 @@ def build_places(
     nodes: DataFrame,
     streets: DataFrame | None = None,
     admin_polygons: DataFrame | None = None,
+    knn_initial_ring: int = 1,
 ) -> DataFrame:
     """The `places` table: (id, name, lat, lon, address, type).
 
     address = addr:street if present, else nearest street name (1-NN,
     indexer.go:1032-1038), plus admin names from the PIP join when polygon
-    layers are supplied (GetFullAdress, indexer.go:1017-1170)."""
+    layers are supplied (GetFullAdress, indexer.go:1017-1170).
+
+    knn_initial_ring: first annulus radius of the nearest-street 1-NN —
+    when the caller knows the street layer is spatially compact relative
+    to the docs (a city extract), a ring covering the extent finishes the
+    exact kNN in ONE round instead of log-many (result identical)."""
     docs = assign_doc_ids(
         dedup_docs(way_docs(ways, nodes).unionByName(node_docs(nodes)))
     )
+    # docs feeds >= 3 subtrees below (isEmpty probe, kNN probes, the final
+    # joins, the PIP join) — materialize ONCE or the whole synth/join/
+    # median-centroid chain recomputes per consumer (round-4 rule)
+    docs = docs.localCheckpoint(eager=True)
 
     if streets is not None:
         from ..operators.knn import knn_join
@@ -176,6 +189,7 @@ def build_places(
                     F.col("lon").alias("olon"),
                 ),
                 k=1, res=10, probe_id="id",
+                initial_ring=knn_initial_ring,
             ).select(F.col("id"), F.col("obj_id").alias("nearest_street_id"))
             street_names = streets.select(
                 F.col("id").alias("nearest_street_id"),

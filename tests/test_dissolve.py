@@ -134,3 +134,82 @@ def test_dissolve_cw_input_normalized(spark):
     # 1x2 rectangle: corners present, shared border (lon=1) cancelled
     pts = set(zip(rings[0]["ring_lat"], rings[0]["ring_lon"]))
     assert {(0.0, 0.0), (0.0, 2.0), (1.0, 2.0), (1.0, 0.0)} <= pts
+
+
+def _misaligned_two_source(spark, shift=1e-10):
+    """Two unit squares that SHOULD share the lon=1 border, but source B's
+    copy of the border sits `shift` degrees east (the two-agencies case —
+    violates the noded-coverage contract)."""
+    return spark.createDataFrame(
+        [
+            ("k", [0.0, 0.0, 1.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0]),
+            (
+                "k",
+                [0.0, 1.0, 1.0, 0.0, 0.0],
+                [1.0 + shift, 1.0 + shift, 2.0, 2.0, 1.0 + shift],
+            ),
+        ],
+        "group_key string, ring_lat array<double>, ring_lon array<double>",
+    )
+
+
+def test_dissolve_misaligned_fails_loud_without_snap(spark):
+    # interior border doesn't bit-match -> both copies survive -> the
+    # near-duplicate-vertex validator raises (inline raise_error, fires
+    # at materialization) instead of silently keeping a doubled border
+    with pytest.raises(Exception, match="snap_res"):
+        dissolve_edges(_misaligned_two_source(spark)).collect()
+
+
+def test_dissolve_misaligned_snap_res_nodes_and_dissolves(spark):
+    # snap_res=30 (lattice ~1.7e-7 deg) puts both copies of the border on
+    # the same lattice points -> cancellation works, one 1x2 rectangle
+    rings = dissolve(_misaligned_two_source(spark), snap_res=30).collect()
+    assert len(rings) == 1 and not rings[0]["is_hole"]
+    pts = set(zip(rings[0]["ring_lat"], rings[0]["ring_lon"]))
+    for clat, clon in [(0.0, 0.0), (0.0, 2.0), (1.0, 2.0), (1.0, 0.0)]:
+        assert any(
+            abs(p[0] - clat) < 2e-7 and abs(p[1] - clon) < 2e-7 for p in pts
+        ), (clat, clon)
+    # the interior border EDGE is gone (collinear pass-through vertices at
+    # lon~1 are kept by contract): no surviving edge runs along lon~1
+    edges = dissolve_edges(
+        _misaligned_two_source(spark), snap_res=30
+    ).collect()
+    assert not any(
+        0.5 < e["alon"] < 1.5 and 0.5 < e["blon"] < 1.5 for e in edges
+    )
+
+
+def test_dissolve_snap_res_noop_on_aligned_coverage(spark):
+    # an already-noded coverage on lattice-representable coords dissolves
+    # to the same ring multiset with and without snapping at a fine res
+    polys = _kec_with_city_key(spark)
+    plain = {
+        (r["group_key"], r["ring_id"], tuple(r["ring_lat"]), tuple(r["ring_lon"]))
+        for r in dissolve(polys).collect()
+    }
+    snapped = dissolve(polys, snap_res=36).collect()
+    # same group/ring structure; vertices within half a res-36 lattice step
+    assert {(r["group_key"], r["ring_id"]) for r in snapped} == {
+        (g, i) for g, i, _, _ in plain
+    }
+    step = 180.0 / (1 << 36)
+    by_gr = {(g, i): (la, lo) for g, i, la, lo in plain}
+    for r in snapped:
+        la, lo = by_gr[(r["group_key"], r["ring_id"])]
+        assert len(la) == len(r["ring_lat"])
+        assert all(abs(a - b) <= step for a, b in zip(la, r["ring_lat"]))
+        assert all(abs(a - b) <= step for a, b in zip(lo, r["ring_lon"]))
+
+
+def test_dissolve_overlap_fails_loud(spark):
+    # two IDENTICAL squares in one group: every edge appears twice in the
+    # SAME direction (overlap, not a coverage) -> multiset validator raises
+    sq = ([0.0, 0.0, 1.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0])
+    polys = spark.createDataFrame(
+        [("k", *sq), ("k", *sq)],
+        "group_key string, ring_lat array<double>, ring_lon array<double>",
+    )
+    with pytest.raises(Exception, match="not a planar coverage"):
+        dissolve_edges(polys).collect()
