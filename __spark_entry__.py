@@ -4018,6 +4018,153 @@ from a join b
 """
 
 
+# Q-CURATE: the composed end-to-end TEXT curation pipeline
+# (plans/curate_text.py) gated as ONE oracle query — the text twin of the
+# image side's places_build-style whole-pipeline gate. Both engines consume
+# the identical driver-synthesized planted corpus (synth.curation_corpus_py:
+# every stage has survivors AND victims); the twin re-derives every stage
+# independently: C4 page keep, Gopher battery + repetition thresholds,
+# classifier margin (rounded 6dp both sides — libm ln), exact dedup,
+# MinHash(k=9)/LSH bands, connected components via a RECURSIVE
+# transitive-closure CTE (vs Spark's pointer-jumping fixpoint), span dedup,
+# 13-gram decontamination, salted-md5 split, weighted mixing, and the
+# concat-chunk packing as a plain window cumsum over mix_id.
+def q_curate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.plans.curate_text import curate_text
+
+    return curate_text(
+        synth.curation_corpus(spark), synth.curation_bench(spark)
+    )
+
+
+def sql_curate_text() -> str:
+    from osm_search_spark.functions.text import (
+        c4_clean_sql,
+        gopher_keep_sql,
+        tokenize_simple_sql,
+    )
+    from osm_search_spark.operators.curation import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+        gopher_repetition_sql,
+        mix_sources_sql,
+        split_bucket_sql,
+    )
+    from osm_search_spark.operators.decontaminate import decontaminate_sql
+    from osm_search_spark.operators.dedup import dedup_spans_sql, minhash_sql
+    from osm_search_spark.operators.quality_clf import score_quality_sql
+    from osm_search_spark.plans import curate_text as ct
+
+    c4 = c4_clean_sql("text")
+    rep_checks = " and ".join(
+        [
+            f"(case when n = {n} then top_char_frac <= {thr} else true end)"
+            for n, thr in GOPHER_TOP_NGRAM_MAX.items()
+        ]
+        + [
+            f"(case when n = {n} then dup_char_frac <= {thr} else true end)"
+            for n, thr in GOPHER_DUP_NGRAM_MAX.items()
+        ]
+    )
+    cap = dedup.DEFAULT_LSH_MAX_BUCKET
+    b = split_bucket_sql("doc_id")
+    mix = mix_sources_sql(
+        "spl",
+        ct.DEFAULT_MIX_WEIGHTS,
+        cols="doc_id, source, lang, split, margin, n_tokens",
+    )
+    budget = ct.DEFAULT_PACK_BUDGET
+    return f"""
+with corpus as materialized {synth.curation_corpus_sql()},
+bench as {synth.curation_bench_sql()},
+clean as materialized (
+  select doc_id, source, lang, {c4["cleaned_text"]} as text
+  from corpus where {c4["keep_page"]}
+),
+rep as (
+  select doc_id, bool_and({rep_checks}) as keep_repetition
+  from ({gopher_repetition_sql("clean")}) group by doc_id
+),
+scored as materialized (
+  select c.*, round({score_quality_sql("c.text")}, 6) as margin from clean c
+),
+quality as materialized (
+  select s.doc_id, s.source, s.lang, s.text, s.margin
+  from scored s left join rep using (doc_id)
+  where {gopher_keep_sql("s.text")}
+    and coalesce(rep.keep_repetition, true) and s.margin > 0
+),
+exkeep as (select min(doc_id) as doc_id from quality group by md5(text)),
+ex as materialized (select q.* from quality q join exkeep using (doc_id)),
+sigs as materialized ({minhash_sql("ex", shingle_k=ct.DEFAULT_SHINGLE_K)}),
+k1 as (select h0, h1 from sigs group by h0, h1 having count(*) <= {cap}),
+k2 as (select h2, h3 from sigs group by h2, h3 having count(*) <= {cap}),
+lsh_pairs as materialized (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sigs a join sigs b
+    on a.h0 = b.h0 and a.h1 = b.h1 and a.doc_id < b.doc_id
+  join k1 on a.h0 = k1.h0 and a.h1 = k1.h1
+  union
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sigs a join sigs b
+    on a.h2 = b.h2 and a.h3 = b.h3 and a.doc_id < b.doc_id
+  join k2 on a.h2 = k2.h2 and a.h3 = k2.h3
+),
+noncanon as (
+  select doc_id from (
+    with recursive
+    edges as (select doc_a as ea, doc_b as eb from lsh_pairs
+              union all select doc_b, doc_a from lsh_pairs),
+    cnodes as (select distinct ea as node from edges),
+    reach(src, node) as (
+      select node, node from cnodes
+      union
+      select r.src, e.eb from reach r join edges e on e.ea = r.node)
+    select src as doc_id, min(node) as component_id from reach group by src)
+  where doc_id <> component_id
+),
+dd as materialized (select * from ex anti join noncanon using (doc_id)),
+spans as ({dedup_spans_sql("dd", n=ct.DEFAULT_SPAN_N)}),
+sp as materialized (
+  select d.doc_id, d.source, d.lang, d.margin, s.text_clean as text
+  from dd d join spans s using (doc_id)
+),
+contaminated as (
+  select distinct doc_id
+  from ({decontaminate_sql("sp", "bench", n=ct.DEFAULT_DECON_N)})
+),
+spl as materialized (
+  select doc_id, source, lang, margin,
+         cast(len({tokenize_simple_sql("text")}) as bigint) as n_tokens,
+         case when {b} < 8000 then 'train'
+              when {b} < 9000 then 'val' else 'test' end as split
+  from sp anti join contaminated using (doc_id)
+),
+mixed as materialized ({mix}),
+pre as (
+  select *,
+    cast(coalesce(sum(n_tokens) over (order by doc_id * {ct.MIX_ID_STRIDE} + copy_idx
+        rows between unbounded preceding and 1 preceding), 0) as bigint)
+      as tok_offset
+  from mixed
+),
+packed as (
+  select *,
+    cast(floor(cast(tok_offset as double) / {budget}) as bigint) as chunk_first,
+    greatest(
+      cast(floor(cast(tok_offset + n_tokens - 1 as double) / {budget}) as bigint),
+      cast(floor(cast(tok_offset as double) / {budget}) as bigint)
+    ) as chunk_last
+  from pre
+)
+select doc_id, copy_idx, source, lang, split, margin, n_tokens, tok_offset,
+       chunk_first, chunk_last,
+       cast(floor(cast(chunk_first as double) / {ct.SHARD_CHUNKS}) as bigint)
+         as shard
+from packed
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join + tile assignment at sf0.001."""
     return q_spatial_tile_join(spark, SF001)
@@ -4080,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "curate_text": q_curate_text,
         "phash_search": q_phash_search,
         "idw_surface": q_idw_surface,
         "tile_pyramid": q_tile_pyramid,
@@ -4179,6 +4327,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "curate_text": sql_curate_text(),
         "phash_search": sql_phash_search(),
         "idw_surface": sql_idw_surface(),
         "tile_pyramid": sql_tile_pyramid(),

@@ -248,6 +248,27 @@ def gopher_quality_sql(text: str) -> dict[str, str]:
     }
 
 
+
+def gopher_keep_sql(text: str) -> str:
+    """DuckDB twin of `gopher_keep` (the published thresholds verbatim,
+    over the unrounded feature expressions — matching the Column
+    predicate, which also compares unrounded)."""
+    s = gopher_quality_sql(text)
+    return (
+        f"(({s['n_words']} between 50 and 100000)"
+        f" and ({s['mean_word_len']} between 3 and 10)"
+        f" and ({s['symbol_word_ratio']} <= 0.1)"
+        f" and ({s['bullet_line_frac']} <= 0.9)"
+        f" and ({s['ellipsis_line_frac']} <= 0.3)"
+        f" and ({s['alpha_word_frac']} >= 0.8)"
+        f" and ({s['n_req_stopwords']} >= 2)"
+        f" and ({s['dup_line_frac']} <= 0.30)"
+        f" and ({s['dup_line_char_frac']} <= 0.20)"
+        f" and ({s['dup_para_frac']} <= 0.30)"
+        f" and ({s['dup_para_char_frac']} <= 0.20))"
+    )
+
+
 def dedup_lines(text: Column | str) -> Column:
     """Remove duplicate lines keeping each line's FIRST occurrence in
     order — the cleaning transform the dup_line_frac feature points at

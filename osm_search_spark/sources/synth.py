@@ -420,6 +420,292 @@ def quality_corpus(spark: SparkSession, n: int = 2000) -> DataFrame:
     )
 
 
+# --- 2c4. planted CURATION corpus (end-to-end text pipeline fixture) ---------
+#
+# The testdata documents table fails every published quality gate (short,
+# punctuation-free), so a composed clean->quality->dedup->decontaminate
+# pipeline over it is vacuous. This corpus is purpose-built so EVERY stage
+# of jobs/curate_text.py has both survivors and victims, deterministically
+# (closed-form LCG, no RNG state). Both engines consume the IDENTICAL rows:
+# Spark via createDataFrame, the DuckDB twin via a VALUES literal from the
+# same Python list (the round-2 "re-synthesize driver-side" oracle rule).
+#
+# Layout (doc_id ranges; sources cycle src0..src3, lang en):
+#    0- 59  good docs        survive everything
+#   60- 69  c4 victims       no terminal punctuation -> keep_page false
+#   70- 75  gopher victims   symbol spam (#) -> symbol_word_ratio > 0.1
+#   76- 79  repetition victims  one 5-gram repeated -> dup_char_frac high
+#   80- 85  classifier victims  consonant gibberish in c4-passing lines
+#   90- 97  exact-dup pairs  (90,91)(92,93)... identical text, min id kept
+#  100-107  near-dup pairs   (100,101)... one word changed, LSH+CC canonical
+#  110-115  span dups        share one 16-token line -> dedup_spans excises
+#                            every occurrence after the first
+#  120-125  contaminated     each embeds a DIFFERENT benchmark line
+#  bench 0-7                 the benchmark suite (distinct 14+-token lines)
+
+_CUR_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _cur_tag(seed: int) -> str:
+    # two doc-specific letters appended to every content word: distinct
+    # docs then share almost no char shingles (stopwords only), so the
+    # MinHash/LSH candidate graph holds ONLY the planted near-dup pairs
+    # instead of a same-vocabulary hairball
+    x = _lcg(seed * 92821 + 31)
+    a = "abcdefghijklmnopqrstuvwxyz"[x % 26]
+    b = "abcdefghijklmnopqrstuvwxyz"[_lcg(x) % 26]
+    return a + b
+
+
+def _cur_sentence(x: int, m: int, tag: str = "") -> tuple[str, int]:
+    toks = []
+    for _ in range(m):
+        x = _lcg(x)
+        if x % 3 == 0:
+            toks.append(_CUR_STOPS[x % len(_CUR_STOPS)])
+        else:
+            toks.append(_QC_CONTENT[x % len(_QC_CONTENT)] + tag)
+    return " ".join(toks) + ".", x
+
+
+def _cur_good_text(seed: int, n_lines: int = 7) -> str:
+    x = _lcg(seed * 524287 + 99)
+    tag = _cur_tag(seed)
+    lines = []
+    for _ in range(n_lines):
+        x = _lcg(x)
+        s, x = _cur_sentence(x, 8 + x % 5, tag)
+        lines.append(s)
+    return "\n".join(lines)
+
+
+def _cur_gibberish_line(x: int, m: int, stops_at: tuple[int, ...] = ()) -> tuple[str, int]:
+    # stops_at: token positions replaced by the two required stopwords —
+    # the MINIMUM ("the", "and") so the doc passes the Gopher battery
+    # (n_req_stopwords >= 2 DISTINCT) yet its trigram profile stays
+    # gibberish and dies at the TRAINED classifier instead
+    toks = []
+    for j in range(m):
+        x = _lcg(x)
+        if j in stops_at:
+            toks.append("the" if j == stops_at[0] else "and")
+            continue
+        ln = 4 + x % 4
+        toks.append(
+            "".join(
+                _QC_CONSONANTS[_lcg(x + k) % len(_QC_CONSONANTS)]
+                for k in range(ln)
+            )
+        )
+    return " ".join(toks) + ".", x
+
+
+def curation_bench_py() -> list[tuple[int, str]]:
+    """(bench_id, text): 8 benchmark docs, each with a distinctive first
+    line of 15 tokens (>= one 13-gram) that contaminated corpus docs
+    embed verbatim."""
+    rows = []
+    for b in range(8):
+        x = _lcg(b * 104729 + 7)
+        key, x = _cur_sentence(x, 15, _cur_tag(5000 + b))
+        body = _cur_good_text(9000 + b, n_lines=4)
+        rows.append((b, key + "\n" + body))
+    return rows
+
+
+def curation_corpus_py() -> list[tuple[int, str, str, str]]:
+    """(doc_id, source, lang, text) — see the layout table above."""
+    rows: list[tuple[int, str, str, str]] = []
+
+    def add(i: int, text: str) -> None:
+        rows.append((i, f"src{i % 4}", "en", text))
+
+    for i in range(60):
+        add(i, _cur_good_text(i))
+    for i in range(60, 70):  # c4 victims: no terminal punctuation anywhere
+        t = _cur_good_text(i).replace(".", "")
+        add(i, t)
+    for i in range(70, 76):  # gopher victims: symbol spam
+        x = _lcg(i * 31 + 5)
+        lines = []
+        for _ in range(7):
+            x = _lcg(x)
+            s, x = _cur_sentence(x, 8)
+            lines.append("# # # " + s)
+        add(i, "\n".join(lines))
+    for i in range(76, 80):  # repetition victims: one 5-gram everywhere
+        x = _lcg(i * 37 + 11)
+        phrase, x = _cur_sentence(x, 5)
+        phrase = phrase[:-1]  # drop the period; it recurs mid-line
+        lines = []
+        for j in range(7):
+            x = _lcg(x)
+            tail, x = _cur_sentence(x, 3)
+            lines.append(f"{phrase} {phrase} {tail}")
+        add(i, "\n".join(lines))
+    for i in range(80, 86):  # classifier victims: punctuated gibberish
+        x = _lcg(i * 41 + 3)
+        lines = []
+        for j in range(7):
+            x = _lcg(x)
+            s, x = _cur_gibberish_line(x, 9, stops_at=(2, 5) if j == 0 else ())
+            lines.append(s)
+        add(i, "\n".join(lines))
+    for i in range(90, 98, 2):  # exact-dup pairs
+        t = _cur_good_text(1000 + i)
+        add(i, t)
+        add(i + 1, t)
+    for i in range(100, 108, 2):  # near-dup pairs: last word of line 1 changed
+        t = _cur_good_text(2000 + i)
+        add(i, t)
+        lines = t.split("\n")
+        w = lines[0].split(" ")
+        w[-1] = "variant."
+        lines[0] = " ".join(w)
+        add(i + 1, "\n".join(lines))
+    shared, _ = _cur_sentence(_lcg(333), 16, _cur_tag(333))  # one 16-token line
+    for i in range(110, 116):  # span dups: the shared line embedded mid-doc
+        t = _cur_good_text(3000 + i, n_lines=6)
+        lines = t.split("\n")
+        lines.insert(3, shared)
+        add(i, "\n".join(lines))
+    bench = curation_bench_py()
+    for k, i in enumerate(range(120, 126)):  # contaminated: bench line k
+        t = _cur_good_text(4000 + i, n_lines=6)
+        lines = t.split("\n")
+        lines.insert(2, bench[k][1].split("\n")[0])
+        add(i, "\n".join(lines))
+    return rows
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def curation_corpus_sql() -> str:
+    """DuckDB rel of the identical corpus rows (BIGINT doc_id for dtype
+    parity with Spark's long)."""
+    vals = ",\n".join(
+        f"({i}, {_sql_str(src)}, {_sql_str(lang)}, {_sql_str(t)})"
+        for i, src, lang, t in curation_corpus_py()
+    )
+    return (
+        "(select cast(doc_id as bigint) as doc_id, source, lang, text"
+        f" from (values {vals}) v(doc_id, source, lang, text))"
+    )
+
+
+def curation_bench_sql() -> str:
+    vals = ",\n".join(
+        f"({b}, {_sql_str(t)})" for b, t in curation_bench_py()
+    )
+    return (
+        "(select cast(bench_id as bigint) as bench_id, text"
+        f" from (values {vals}) v(bench_id, text))"
+    )
+
+
+def curation_corpus(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        curation_corpus_py(), "doc_id long, source string, lang string, text string"
+    )
+
+
+def curation_bench(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        curation_bench_py(), "bench_id long, text string"
+    )
+
+
+# --- 2c5. map-matching fixture (HMM Viterbi wrong-road scenario) -------------
+#
+# Two parallel east-west roads ~200 m apart plus one north-south connector:
+# the classic Newson-Krumm ambiguity. Each trip drives one road with ±44 m
+# LCG ping noise, except ping seq=4 which is planted CLOSER to the OTHER
+# road — per-point snap assigns the wrong road there; the HMM's transition
+# cost (|snap-to-snap step − ping great-circle| penalizes the detour) keeps
+# the true road. Margins are ~0.2 in cost units — far above float noise.
+
+MM_ROAD_LONS = (-0.002, 0.004, 0.010, 0.016, 0.022)
+MM_LAT_R1 = 0.0
+MM_LAT_R2 = 0.0018
+MM_TRIP_LEN = 8
+
+
+def map_match_streets_py() -> list[tuple[int, list[float], list[float]]]:
+    """(way_id, lats, lons) — roads 1/2 horizontal, road 3 the connector."""
+    lons = list(MM_ROAD_LONS)
+    return [
+        (1, [MM_LAT_R1] * len(lons), lons),
+        (2, [MM_LAT_R2] * len(lons), lons),
+        (3, [-0.001, 0.001, 0.003], [0.010, 0.010, 0.010]),
+    ]
+
+
+def map_match_pings_py() -> list[tuple[int, int, float, float]]:
+    """(trip_id, seq, lat, lon): trips 0-1 on road 1, trips 2-3 on road 2,
+    fixed length MM_TRIP_LEN; seq 4 planted on the wrong side."""
+    rows = []
+    for trip in range(4):
+        road_lat = MM_LAT_R1 if trip < 2 else MM_LAT_R2
+        x = _lcg(trip * 7919 + 17)
+        for k in range(MM_TRIP_LEN):
+            lon = 0.001 + k * 0.0025
+            x = _lcg(x)
+            noise = ((x % 2001) - 1000) / 1000.0 * 0.0004
+            x = _lcg(x)
+            lon_noise = ((x % 2001) - 1000) / 1000.0 * 0.0002
+            if k == 4:  # planted: closer to the OTHER road
+                lat = 0.0011 if trip < 2 else 0.0007
+            else:
+                lat = road_lat + noise
+            rows.append((trip, k, lat, lon + lon_noise))
+    return rows
+
+
+def map_match_streets(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        map_match_streets_py(),
+        "id long, lats array<double>, lons array<double>",
+    )
+
+
+def map_match_pings(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        map_match_pings_py(), "trip_id long, seq int, lat double, lon double"
+    )
+
+
+def map_match_pings_sql() -> str:
+    vals = ",\n".join(
+        f"({t}, {s}, {dlit(lat)}, {dlit(lon)})"
+        for t, s, lat, lon in map_match_pings_py()
+    )
+    return (
+        "(select cast(trip_id as bigint) as trip_id, cast(seq as int) as seq,"
+        " lat, lon"
+        f" from (values {vals}) v(trip_id, seq, lat, lon))"
+    )
+
+
+def map_match_segments_sql() -> str:
+    """The fixture roads exploded into directed segments (the twin's
+    brute-force candidate side)."""
+    rows = []
+    for way_id, lats, lons in map_match_streets_py():
+        for i in range(len(lats) - 1):
+            rows.append(
+                f"({way_id}, {i}, {dlit(lats[i])}, {dlit(lons[i])}, "
+                f"{dlit(lats[i + 1])}, {dlit(lons[i + 1])})"
+            )
+    return (
+        "(select cast(way_id as bigint) as way_id, cast(seg_idx as int)"
+        " as seg_idx, alat, alon, blat, blon"
+        f" from (values {','.join(rows)})"
+        " v(way_id, seg_idx, alat, alon, blat, blon))"
+    )
+
+
 # --- 2d. labeled language corpus ---------------------------------------------
 
 # Deterministic labeled corpora for the trained language-ID operator
