@@ -4165,6 +4165,116 @@ from packed
 """
 
 
+# Q-HMM: Newson-Krumm HMM map matching (operators/map_match.py) — per-ping
+# top-m nearest-way candidates (snap cover join), per-trip Viterbi over
+# emission (snap distance) + transition (|snap-step − ping-great-circle| +
+# way-switch cost). The fixture plants one ping per trip CLOSER to a
+# parallel road; per-point snap picks the wrong road there, the HMM keeps
+# the true one. Every DP input is a 6dp-rounded number from shared
+# expression text; the DP itself is exact float64 arithmetic in a
+# documented order, so both engines' Viterbi decisions match exactly. The
+# twin unrolls the DP as chained CTEs (one per ping step — the fixture's
+# trips all have MM_TRIP_LEN pings), carrying the argmin path as a list.
+def q_hmm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.map_match import hmm_match
+
+    return hmm_match(
+        synth.map_match_pings(spark), synth.map_match_streets(spark)
+    )
+
+
+def sql_hmm_match() -> str:
+    from osm_search_spark.operators.map_match import (
+        DEFAULT_EM_W,
+        DEFAULT_M,
+        DEFAULT_SWITCH_COST,
+        DEFAULT_TR_W,
+    )
+    from osm_search_spark.operators.snap import (
+        SNAP_LAT_EXPR, SNAP_LON_EXPR, T_EXPR,
+    )
+
+    radius, m = 0.5, DEFAULT_M
+    emw = synth.dlit(DEFAULT_EM_W)
+    trw = synth.dlit(DEFAULT_TR_W)
+    sw = synth.dlit(DEFAULT_SWITCH_COST)
+    L = synth.MM_TRIP_LEN
+    hav = haversine_km_sql("plat", "plon", SNAP_LAT_EXPR, SNAP_LON_EXPR)
+    hav_step = haversine_km_sql("a.snap_lat", "a.snap_lon", "b.snap_lat", "b.snap_lon")
+    hav_gc = haversine_km_sql("a.plat", "a.plon", "b.plat", "b.plon")
+    em = f"(c.dist_km * c.dist_km) * {emw}"
+    steps = []
+    for s in range(1, L):
+        steps.append(f"""v{s} as materialized (
+  select trip_id, cand, way_id, score, path from (
+    select c.trip_id, c.cand, c.way_id,
+           (v.score + t.tr_cost) + {em} as score,
+           list_append(v.path, c.cand) as path,
+           row_number() over (partition by c.trip_id, c.cand
+                              order by (v.score + t.tr_cost), v.cand) as rk
+    from (select * from cand where seq = {s}) c
+    join trans t on t.trip_id = c.trip_id and t.seq_b = {s}
+                and t.cand_b = c.cand
+    join v{s - 1} v on v.trip_id = t.trip_id and v.cand = t.cand_a)
+  where rk = 1
+)""")
+    return f"""
+with pings as materialized {synth.map_match_pings_sql()},
+segs as materialized {synth.map_match_segments_sql()},
+scored as (
+  select p.trip_id, p.seq, p.plat, p.plon, s.way_id, s.seg_idx,
+         {T_EXPR} as t_raw, {SNAP_LAT_EXPR} as slat_raw,
+         {SNAP_LON_EXPR} as slon_raw, {hav} as d_raw
+  from (select trip_id, seq, lat as plat, lon as plon from pings) p
+  cross join segs s
+),
+perway as (
+  select * from (
+    select *, row_number() over (partition by trip_id, seq, way_id
+                                 order by d_raw, seg_idx) as rw
+    from scored where round(d_raw, 6) <= {radius})
+  where rw = 1
+),
+cand as materialized (
+  select trip_id, seq, plat, plon, cast(rk - 1 as int) as cand,
+         way_id, seg_idx, round(t_raw, 6) as t,
+         round(slat_raw, 6) as snap_lat, round(slon_raw, 6) as snap_lon,
+         round(d_raw, 6) as dist_km
+  from (select *, row_number() over (partition by trip_id, seq
+                                     order by d_raw, way_id) as rk
+        from perway)
+  where rk <= {m}
+),
+trans as materialized (
+  select a.trip_id, b.seq as seq_b, a.cand as cand_a, b.cand as cand_b,
+         abs(round({hav_step}, 6) - round({hav_gc}, 6)) * {trw}
+         + case when a.way_id <> b.way_id then {sw} else 0.0e0 end as tr_cost
+  from cand a join cand b on a.trip_id = b.trip_id and b.seq = a.seq + 1
+),
+v0 as materialized (
+  select c.trip_id, c.cand, c.way_id, {em} as score, [c.cand] as path
+  from cand c where c.seq = 0
+),
+{",".join(steps)},
+best as (
+  select trip_id, score, path from (
+    select *, row_number() over (partition by trip_id
+                                 order by score, cand) as rk
+    from v{L - 1})
+  where rk = 1
+),
+steps as (
+  select trip_id, score, unnest(path) as cand,
+         unnest(generate_series(0, {L - 1})) as seq
+  from best
+)
+select s.trip_id, cast(s.seq as int) as seq, c.way_id, c.seg_idx, c.t,
+       c.snap_lat, c.snap_lon, c.dist_km, round(s.score, 6) as score
+from steps s
+join cand c on c.trip_id = s.trip_id and c.seq = s.seq and c.cand = s.cand
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join + tile assignment at sf0.001."""
     return q_spatial_tile_join(spark, SF001)
@@ -4227,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "hmm_match": q_hmm_match,
         "curate_text": q_curate_text,
         "phash_search": q_phash_search,
         "idw_surface": q_idw_surface,
@@ -4327,6 +4438,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "hmm_match": sql_hmm_match(),
         "curate_text": sql_curate_text(),
         "phash_search": sql_phash_search(),
         "idw_surface": sql_idw_surface(),
