@@ -4275,6 +4275,90 @@ join cand c on c.trip_id = s.trip_id and c.seq = s.seq and c.cand = s.cand
 """
 
 
+# Q-CAPCONS: caption⇄image consistency (operators/caption_score.py) — the
+# LAION/DataComp CLIP-score filter position. Deterministic fixture derived
+# from the embeddings table IN BOTH ENGINES: caption vec = image vec +
+# closed-form lattice noise, except every 7th pair whose caption comes
+# from the NEXT row (a planted mismatch — the fixture's neighbor vectors
+# are decorrelated, cos <= ~0.45 vs ~0.99 for true pairs, so threshold
+# 0.6 separates cleanly). Negatives = the pair_id % 31 == 5 caption
+# sample. Cosine folds accumulate identically (embedding_topk precedent);
+# scores rounded 5dp, margin/keep derived from the rounded values.
+def _caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("img_vec"),
+        F.when(F.col("vec_id") % 7 == 0, F.col("vec_id") + 1)
+        .otherwise(F.col("vec_id"))
+        .alias("src_id"),
+    )
+    srcv = emb.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_vec")
+    )
+    cap = F.transform(
+        "src_vec",
+        lambda x, i: x.cast("double")
+        + F.lit(0.01) * (((F.col("vec_id") * 31 + i) % 7) - 3),
+    )
+    return base.join(srcv, "src_id").select(
+        F.col("vec_id").alias("pair_id"), "img_vec", cap.alias("cap_vec")
+    )
+
+
+def q_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.caption_score import caption_consistency
+
+    pairs = _caption_pairs(spark, sf_dir)
+    negs = pairs.filter(F.col("pair_id") % 31 == 5).select(
+        F.col("pair_id").alias("neg_id"), F.col("cap_vec").alias("neg_vec")
+    )
+    return caption_consistency(pairs, negs)
+
+
+def sql_caption_consistency() -> str:
+    def cos(a, b):
+        dot = f"list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))])"
+        na = f"sqrt(list_sum([{a}[i] * {a}[i] for i in generate_series(1, len({a}))]))"
+        nb = f"sqrt(list_sum([{b}[i] * {b}[i] for i in generate_series(1, len({b}))]))"
+        return f"{dot} / ({na} * {nb})"
+
+    thr = synth.dlit(0.6)
+    noise = f"{synth.dlit(0.01)} * cast(((b.vec_id * 31 + (i - 1)) % 7) - 3 as double)"
+    return f"""
+with emb as (select vec_id, cast(embedding as double[]) as vec from embeddings),
+pairs as materialized (
+  select b.vec_id as pair_id, b.vec as img,
+         [s.vec[i] + {noise} for i in generate_series(1, len(s.vec))] as cap
+  from (select vec_id, vec,
+               case when vec_id % 7 = 0 then vec_id + 1 else vec_id end
+                 as src_id
+        from emb) b
+  join emb s on s.vec_id = b.src_id
+),
+negs as materialized (
+  select pair_id as neg_id, cap as nv from pairs where pair_id % 31 = 5
+),
+clip as materialized (
+  select pair_id, img, round({cos("img", "cap")}, 5) as clip_score from pairs
+),
+best as (
+  select * from (
+    select c.pair_id, c.clip_score, n.neg_id,
+           round({cos("c.img", "n.nv")}, 5) as nc,
+           row_number() over (partition by c.pair_id
+                              order by round({cos("c.img", "n.nv")}, 5) desc,
+                                       n.neg_id desc) as rk
+    from clip c join negs n on c.pair_id <> n.neg_id)
+  where rk = 1
+)
+select pair_id, clip_score, neg_id, nc as best_neg,
+       clip_score - nc as margin,
+       (clip_score - nc > 0 and clip_score >= {thr}) as keep
+from best
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join + tile assignment at sf0.001."""
     return q_spatial_tile_join(spark, SF001)
@@ -4337,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "caption_consistency": q_caption_consistency,
         "hmm_match": q_hmm_match,
         "curate_text": q_curate_text,
         "phash_search": q_phash_search,
@@ -4438,6 +4523,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "caption_consistency": sql_caption_consistency(),
         "hmm_match": sql_hmm_match(),
         "curate_text": sql_curate_text(),
         "phash_search": sql_phash_search(),

@@ -835,10 +835,22 @@ def pq_topk(
     # is a constant-key BroadcastHASHJoin, not a crossJoin: BNLJ is excluded
     # from whole-stage codegen, BHJ multi-match stays inside it (~5x on the
     # ADC scan).
+    # NON-FOLDABLE constant key: a literal F.lit(1) key is constant-folded
+    # by Catalyst (1 = 1 -> true), which DEGRADES the join to a
+    # BroadcastNestedLoopJoin (codegen-excluded) — col*0+1 evaluates to 1
+    # per row but survives as an equi-key, keeping the BroadcastHashJoin
+    # (caught by tests/test_plans.py::test_pq_topk_constant_key_is_bhj)
     scored = (
-        corpus_codes.select(corpus_id, "codes", F.lit(1).alias("_k"))
+        corpus_codes.select(
+            corpus_id, "codes",
+            (F.col(corpus_id) * 0 + 1).alias("_k"),
+        )
         .join(
-            F.broadcast(plut.select(probe_id, "lut", F.lit(1).alias("_k"))),
+            F.broadcast(
+                plut.select(
+                    probe_id, "lut", (F.col(probe_id) * 0 + 1).alias("_k")
+                )
+            ),
             "_k",
         )
         .filter(F.col(corpus_id) != F.col(probe_id))

@@ -205,3 +205,31 @@ def test_clip_full_path_is_python_free(spark):
     # the clip itself adds exactly ONE Arrow/Python eval (the PARTIAL
     # kernel); the cover's classify pass is checkpointed away
     assert plan.count("PythonMapInArrow") + plan.count("MapInPandas") == 1, plan
+
+
+def test_pq_topk_constant_key_is_bhj(spark):
+    """The ADC fan-out's constant join key must be NON-FOLDABLE: a
+    foldable F.lit(1) key is constant-folded by Catalyst (1 = 1 -> true)
+    and the join silently degrades to a BroadcastNestedLoopJoin, which is
+    excluded from whole-stage codegen (the round-3 ~5x on the ADC scan)."""
+    import numpy as np
+
+    from osm_search_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(16).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = S.pq_train(corpus.limit(100), m=4, k=16)
+    codes = S.pq_encode(corpus, cb)
+    probes = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pvec"),
+    )
+    plan = plan_str(
+        S.pq_topk(probes, codes, cb, k=5, probe_vec="pvec",
+                  corpus_vec="embedding")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
