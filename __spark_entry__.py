@@ -4378,14 +4378,11 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "phash_search", "idw_surface", "tile_pyramid",
-    "semantic_decontaminate", "road_lengths",
-    "image_quality", "polygon_labels", "compact_cover", "snap_streets",
-    "quality_classifier", "dissolve_admin", "multi_outer_pip",
+    "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 57  # +1 per round-7 head insertion, keeps the pool stable
+_TAIL_POOL_START = 60  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:

@@ -129,3 +129,26 @@ def test_broken_trip_yields_no_rows(spark, fixture):
     out = hmm_match(pings.unionByName(extra), streets).collect()
     trips = {r["trip_id"] for r in out}
     assert trips == {0, 1, 2, 3}
+
+
+def test_legitimate_turn_pays_one_switch(spark, fixture):
+    """The way-switch cost must not suppress REAL turns: a trip driving
+    road 1 east then turning north onto the road-3 connector matches
+    [1,1,1,1,3,3,3,3] — one switch at the intersection."""
+    _, streets = fixture
+    rows = [
+        (7, 0, 0.0001, 0.0020),
+        (7, 1, 0.0001, 0.0045),
+        (7, 2, 0.0001, 0.0070),
+        (7, 3, 0.0001, 0.0095),
+        (7, 4, 0.0008, 0.0101),
+        (7, 5, 0.0015, 0.0101),
+        (7, 6, 0.0022, 0.0101),
+        (7, 7, 0.0028, 0.0101),
+    ]
+    pings = spark.createDataFrame(
+        rows, "trip_id long, seq int, lat double, lon double"
+    )
+    out = sorted(hmm_match(pings, streets).collect(), key=lambda r: r["seq"])
+    ways = [r["way_id"] for r in out]
+    assert ways == [1, 1, 1, 1, 3, 3, 3, 3], ways

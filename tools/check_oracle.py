@@ -38,6 +38,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         errs.append(f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return errs
+    # dtype parity (the round-6 rule): the driver's value hasher is
+    # dtype-sensitive, so an int64-vs-float64 drift (e.g. DuckDB's
+    # HUGEINT sum() materializing as float64) fails THERE even when the
+    # value compare below is green. Normalize only int-width differences
+    # (int32 vs int64 both hash as integers driver-side is NOT guaranteed
+    # — flag any kind mismatch, allow same-kind width drift for objects).
+    for c in sorted(spark_pdf.columns):
+        sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        if sk != dk and not (len(spark_pdf) == 0 or len(duck_pdf) == 0):
+            errs.append(
+                f"dtype col {c}: spark {spark_pdf[c].dtype} vs "
+                f"duck {duck_pdf[c].dtype} (driver hash would diverge)"
+            )
+    if errs:
+        return errs
     a, b = canon(spark_pdf), canon(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:
