@@ -4231,7 +4231,7 @@ scored as (
 perway as (
   select * from (
     select *, row_number() over (partition by trip_id, seq, way_id
-                                 order by d_raw, seg_idx) as rw
+                                 order by round(d_raw, 6), seg_idx) as rw
     from scored where round(d_raw, 6) <= {radius})
   where rw = 1
 ),
@@ -4241,7 +4241,7 @@ cand as materialized (
          round(slat_raw, 6) as snap_lat, round(slon_raw, 6) as snap_lon,
          round(d_raw, 6) as dist_km
   from (select *, row_number() over (partition by trip_id, seq
-                                     order by d_raw, way_id) as rk
+                                     order by round(d_raw, 6), way_id) as rk
         from perway)
   where rk <= {m}
 ),
