@@ -104,32 +104,39 @@ def candidate_projection(
     radius_km: float = 0.5,
     res: int = C.JOIN_RES,
     broadcast_segments: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MAP-ONLY candidate rows: every (ping, segment) pair within
     radius_km with 6dp-rounded (t, snap_lat, snap_lon, dist_km) — the
     snap cover join + shared refine expressions, BEFORE any per-way
     argmin/top-m (those run per-trip in the match kernel). Columns:
     (trip_id, seq, plat, plon, way_id, seg_idx, t, snap_lat, snap_lon,
-    dist_km)."""
+    dist_km) plus any `carry_cols` passed through from the point side
+    (the streaming matcher rides its close marker here — re-joining it
+    downstream would be a stream-stream join)."""
     cover = _segment_cover(way_segments(ways), radius_km, res)
     if broadcast_segments:
         cover = F.broadcast(cover)
+    carry = list(carry_cols)
     pts = points.select(
         "trip_id", "seq",
         F.col("lat").alias("plat"),
         F.col("lon").alias("plon"),
         C.latlng_to_cell("lat", "lon", res).alias("cell_id"),
+        *carry,
     )
     cand = pts.join(cover, "cell_id")
     with_t = cand.select(
         "trip_id", "seq", "plat", "plon",
         "way_id", "seg_idx", "alat", "alon", "blat", "blon",
         F.expr(T_EXPR).alias("_t"),
+        *carry,
     )
     with_snap = with_t.select(
         "trip_id", "seq", "plat", "plon", "way_id", "seg_idx", "_t",
         (F.col("alat") + F.col("_t") * (F.col("blat") - F.col("alat"))).alias("_slat"),
         (F.col("alon") + F.col("_t") * (F.col("blon") - F.col("alon"))).alias("_slon"),
+        *carry,
     )
     return with_snap.select(
         "trip_id", "seq", "plat", "plon", "way_id", "seg_idx",
@@ -142,6 +149,7 @@ def candidate_projection(
             ),
             6,
         ).alias("dist_km"),
+        *carry,
     ).filter(F.col("dist_km") <= radius_km)
 
 
