@@ -2791,6 +2791,45 @@ from (values
 """
 
 
+# Q26q (round 8): SDXL aspect-bucket resize — decode -> bucket -> exact
+# integer resample -> PNG re-encode (operators/image_ops.py bucket_resize).
+# The gate projects the exact int64 stats + crc32 of the resized raw
+# pixels (byte-exact on the resized output without shipping bytes); the
+# twin re-derives every row driver-side through the SAME pure kernel over
+# the closed-form image fixture (the image-oracle pattern of
+# sql_image_quality / CLAUDE.md round-2 rule).
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.image_ops import bucket_resize
+    from osm_search_spark.sources import images as img_src
+
+    return bucket_resize(img_src.images_table(spark, _IMG_Q_N)).select(
+        "image_id", "aspect_bucket", "tw", "th",
+        "px_sum", "px_sq_sum", "crc",
+    )
+
+
+def sql_image_resize() -> str:
+    from osm_search_spark.functions import images as I
+    from osm_search_spark.operators.image_ops import bucket_resize_py
+    from osm_search_spark.sources import images as img_src
+
+    rows = []
+    for i in range(_IMG_Q_N):
+        r = img_src.make_row(i)
+        s, _ = bucket_resize_py(r["image_id"], I.decode(r["bytes"], r["fmt"]))
+        rows.append(
+            f"('{s[0]}', '{s[1]}', {s[2]}, {s[3]}, {s[4]}, {s[5]}, {s[6]})"
+        )
+    return f"""
+select image_id, aspect_bucket, cast(tw as int) as tw,
+       cast(th as int) as th, cast(px_sum as bigint) as px_sum,
+       cast(px_sq_sum as bigint) as px_sq_sum, cast(crc as bigint) as crc
+from (values
+{",".join(rows)}
+) t(image_id, aspect_bucket, tw, th, px_sum, px_sq_sum, crc)
+"""
+
+
 # Q26k (round 7): line x polygon overlay length — "road km per district"
 # (operators/line_stats.py) over the synth streets x the donut + concave
 # fixtures (crossing splits, concave double-crossings, hole exclusion all
@@ -4378,11 +4417,11 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "caption_consistency", "hmm_match", "curate_text",
+    "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 60  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 61  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -4418,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "image_resize": q_image_resize,
         "caption_consistency": q_caption_consistency,
         "hmm_match": q_hmm_match,
         "curate_text": q_curate_text,
@@ -4520,6 +4560,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "image_resize": sql_image_resize(),
         "caption_consistency": sql_caption_consistency(),
         "hmm_match": sql_hmm_match(),
         "curate_text": sql_curate_text(),

@@ -10,6 +10,9 @@ committed lineage stage (resume from the last good stage on rerun):
   4. curated   — keep ∧ canonical (∧ margin > --caption-margin when
                  given), tile id assigned, written hive-partitioned by
                  the coarse parent cell (prunable reads downstream)
+  5. resized   — survivors resized to their SDXL aspect bucket's
+                 canonical dims (exact integer resample, PNG re-encoded),
+                 same tile partitioning (operators/image_ops.bucket_resize)
 
   spark-submit --py-files dist/osm_search_spark.zip jobs/curate_images.py \
       --base /data/curated [--images imgs.parquet | --synth 2000] \
@@ -31,10 +34,12 @@ def run(
     synth_n: int = 0,
     caption_margin: float | None = None,
     tile_res: int = 14,
+    bucket_base: int = 64,
     snapshot: str = "",
 ):
     from osm_search_spark.functions import cells as C
     from osm_search_spark.operators.image_ops import (
+        bucket_resize,
         image_dedup,
         image_quality_stats,
     )
@@ -96,7 +101,28 @@ def run(
         cell_col="tile_id",
         partition_by="parent_cell",
     )
-    return quality, dedup, captions, curated
+
+    # 5. resize SURVIVORS ONLY to their bucket's canonical dims (decode is
+    # the expensive step — never resize what quality/dedup already dropped);
+    # tile/parent ride through the kernel, so the stage stays map-only.
+    resized = run_stage(
+        spark, base, "resized",
+        lambda: bucket_resize(
+            curated.select(
+                "image_id", "bytes", "fmt", "caption", "tile_id",
+                "parent_cell",
+            ),
+            base=bucket_base,
+            passthrough=("caption", "tile_id", "parent_cell"),
+        ),
+        input_snapshot=(
+            f"{snap}|margin={caption_margin}|res={tile_res}|"
+            f"bucket_base={bucket_base}"
+        ),
+        cell_col="tile_id",
+        partition_by="parent_cell",
+    )
+    return quality, dedup, captions, curated, resized
 
 
 def main() -> None:
@@ -106,20 +132,24 @@ def main() -> None:
     ap.add_argument("--synth", type=int, default=0)
     ap.add_argument("--caption-margin", type=float, default=None)
     ap.add_argument("--tile-res", type=int, default=14)
+    ap.add_argument("--bucket-base", type=int, default=64)
     ap.add_argument("--snapshot", default="")
     args = ap.parse_args()
     if not args.images and not args.synth:
         ap.error("one of --images / --synth is required")
 
     spark = SparkSession.builder.appName("curate-images").getOrCreate()
-    _, _, _, curated = run(
+    _, _, _, curated, resized = run(
         spark, args.base,
         images_path=args.images, synth_n=args.synth,
         caption_margin=args.caption_margin, tile_res=args.tile_res,
-        snapshot=args.snapshot,
+        bucket_base=args.bucket_base, snapshot=args.snapshot,
     )
     n = curated.count()
-    print(f"curated corpus: {n} rows at {args.base}/curated")
+    print(
+        f"curated corpus: {n} rows at {args.base}/curated; "
+        f"resized: {resized.count()} rows at {args.base}/resized"
+    )
 
 
 if __name__ == "__main__":

@@ -152,6 +152,39 @@ def _resize_area_gray(pixels: np.ndarray, out: int = 32) -> np.ndarray:
     return res
 
 
+def resize_exact(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Bit-exact integer resample of an (h, w[, c]) uint8 array to
+    (th, tw[, c]) — the training-resize kernel (SDXL bucket resize,
+    thumbnail corpora) with NO float arithmetic, so workers, the driver,
+    and any engine re-running the same spec agree byte-for-byte.
+
+    Per axis:
+    - src a multiple of tgt (downscale): block MEAN over the integer
+      factor, 2-D joint when both axes downscale (one round-half-up over
+      the whole block — exact int64, no separable double rounding);
+    - anything else (upscale or non-integral): center-aligned NEAREST via
+      the pure-integer index map floor((2i+1)*src / (2*tgt)).
+
+    uint8 in, uint8 out; int64 intermediates (max block sum 255*fh*fw
+    stays far inside int64)."""
+    if tw <= 0 or th <= 0:
+        raise ValueError(f"target dims must be positive, got {tw}x{th}")
+    h, w = pixels.shape[0], pixels.shape[1]
+    a = pixels.astype(np.int64)
+    fh = h // th if h >= th and h % th == 0 else 1
+    fw = w // tw if w >= tw and w % tw == 0 else 1
+    if fh > 1 or fw > 1:
+        shape = (h // fh, fh, w // fw, fw) + a.shape[2:]
+        a = a.reshape(shape).sum(axis=(1, 3))
+        area = fh * fw
+        a = (a + area // 2) // area  # round-half-up, exact
+    if a.shape[0] != th:
+        a = a[((2 * np.arange(th) + 1) * a.shape[0]) // (2 * th)]
+    if a.shape[1] != tw:
+        a = a[:, ((2 * np.arange(tw) + 1) * a.shape[1]) // (2 * tw)]
+    return a.astype(np.uint8)
+
+
 def phash64(pixels: np.ndarray) -> int:
     """Classic DCT pHash: signed 64-bit int (two's complement)."""
     small = _resize_area_gray(pixels, 32)

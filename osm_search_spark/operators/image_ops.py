@@ -238,6 +238,80 @@ def image_stats_py(image_id: str, pixels: np.ndarray) -> tuple:
     )
 
 
+BUCKET_RESIZE_SCHEMA = (
+    "image_id string, aspect_bucket string, tw int, th int, "
+    "px_sum long, px_sq_sum long, crc long, thumb binary"
+)
+
+
+def bucket_resize_py(image_id: str, pixels: np.ndarray, base: int = 64):
+    """Pure kernel shared by the distributed operator and the oracle's
+    driver-side VALUES builder: choose the SDXL aspect bucket (identical
+    rule to image_stats_py), resize to the bucket's canonical dims
+    (bucket (a, b) -> (a*base, b*base)) with functions.images.resize_exact
+    (pure-integer, bit-exact), and return
+    (image_id, bucket, tw, th, px_sum, px_sq_sum, crc32(resized bytes)),
+    plus the resized array for re-encoding. crc32 gates the resized
+    pixels byte-for-byte without shipping them through the oracle."""
+    import math
+    import zlib
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    lr = math.log(w / h)
+    bucket = min(
+        ASPECT_BUCKETS, key=lambda ab: (abs(math.log(ab[0] / ab[1]) - lr), ab)
+    )
+    tw, th = bucket[0] * base, bucket[1] * base
+    r = I.resize_exact(pixels, tw, th)
+    flat = r.astype(np.int64)
+    return (
+        image_id, f"{bucket[0]}:{bucket[1]}", tw, th,
+        int(flat.sum()), int((flat * flat).sum()),
+        int(zlib.crc32(r.tobytes())),
+    ), r
+
+
+def bucket_resize(
+    images: DataFrame, base: int = 64, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Decode -> SDXL aspect-bucket resize -> PNG re-encode, Arrow-batched
+    (the LAION/SDXL preprocessing step between quality filtering and the
+    training corpus write: every image lands on its bucket's canonical
+    dims so training batches by shape class). Input needs
+    (image_id, bytes, fmt); output BUCKET_RESIZE_SCHEMA with the resized
+    PNG in `thumb` and exact int64 stats + crc32 of the resized raw
+    pixels for the gate. `passthrough` columns are echoed through the
+    kernel (schema copied from the input — StructType built as a new
+    list, never .add, per the round-2 rule) so callers keep tile/cell
+    assignments without a join-back shuffle. One narrow map-only pass."""
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        list(StructType.fromDDL(BUCKET_RESIZE_SCHEMA))
+        + [images.schema[c] for c in passthrough]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [
+            "image_id", "aspect_bucket", "tw", "th",
+            "px_sum", "px_sq_sum", "crc", "thumb", *passthrough,
+        ]
+        for pdf in batches:
+            rows = []
+            for tup in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"],
+                *[pdf[c] for c in passthrough],
+            ):
+                iid, b, f = tup[:3]
+                stats, r = bucket_resize_py(iid, I.decode(bytes(b), f), base)
+                rows.append(stats + (I.png_encode(r),) + tup[3:])
+            yield pd.DataFrame(rows, columns=names)
+
+    return images.select("image_id", "bytes", "fmt", *passthrough).mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def image_quality_stats(images: DataFrame) -> DataFrame:
     """Decode + per-image quality statistics, Arrow-batched (the image
     analog of the Gopher text battery). Input needs (image_id, bytes,

@@ -184,3 +184,76 @@ def test_image_dedup_matches_union_find(spark):
     n_comp = len(set(want.values()))
     assert n_comp < len(ids)
     assert any(sum(1 for w in want.values() if w == c) == 1 for c in set(want.values()))
+
+
+# --- exact bucket resize (round 8) ----------------------------------------
+
+
+def test_resize_exact_block_mean_round_half_up():
+    a = np.array(
+        [[0, 1, 8, 9], [2, 2, 10, 13], [100, 100, 7, 7], [100, 101, 8, 8]],
+        dtype=np.uint8,
+    )
+    out = I.resize_exact(a, 2, 2)
+    # block sums 5, 40, 401, 30 -> round-half-up means 1, 10, 100, 8
+    assert out.tolist() == [[1, 10], [100, 8]]
+    # true mean 1.5 must round UP (round-half-up, not banker's)
+    b = np.array([[1, 1], [1, 3]], dtype=np.uint8)
+    assert I.resize_exact(b, 1, 1).tolist() == [[2]]
+
+
+def test_resize_exact_nearest_paths():
+    # upscale 2 -> 4: center-aligned nearest degenerates to exact repeat
+    a = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    up = I.resize_exact(a, 4, 4)
+    assert up.tolist() == [
+        [10, 10, 20, 20], [10, 10, 20, 20],
+        [30, 30, 40, 40], [30, 30, 40, 40],
+    ]
+    # non-integral 3 -> 2: index map floor((2i+1)*3/4) = [0, 2]
+    c = np.array([[10, 20, 30]], dtype=np.uint8)
+    assert I.resize_exact(c, 2, 1).tolist() == [[10, 30]]
+
+
+def test_resize_exact_mixed_axes_and_channels():
+    # height 4 -> 2 block mean FIRST, then width 2 -> 4 nearest repeat
+    a = np.arange(8, dtype=np.uint8).reshape(4, 2)
+    out = I.resize_exact(a, 4, 2)
+    # column means of row pairs: [(0+2+1)//2,(1+3+1)//2] = [1,2]; then
+    # [(4+6+1)//2,(5+7+1)//2] = [5,6]; width repeat
+    assert out.tolist() == [[1, 1, 2, 2], [5, 5, 6, 6]]
+    # 3-channel joint 2-D block mean (single rounding over the block)
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[..., 0] = [[1, 1], [1, 3]]
+    rgb[..., 1] = [[0, 0], [0, 0]]
+    rgb[..., 2] = [[255, 255], [255, 255]]
+    assert I.resize_exact(rgb, 1, 1).reshape(3).tolist() == [2, 0, 255]
+
+
+def test_bucket_resize_operator(spark):
+    import zlib
+
+    from osm_search_spark.operators.image_ops import (
+        ASPECT_BUCKETS, bucket_resize, bucket_resize_py,
+    )
+
+    df = src.images_table(spark, 9)
+    got = {r["image_id"]: r for r in bucket_resize(df, base=64).collect()}
+    assert len(got) == 9
+    for i in range(9):
+        row = src.make_row(i)
+        px = I.decode(row["bytes"], row["fmt"])
+        stats, r = bucket_resize_py(row["image_id"], px, base=64)
+        g = got[row["image_id"]]
+        a, b = (int(x) for x in g["aspect_bucket"].split(":"))
+        assert (a, b) in ASPECT_BUCKETS
+        assert (g["tw"], g["th"]) == (a * 64, b * 64) == (stats[2], stats[3])
+        thumb = I.png_decode(bytes(g["thumb"]))
+        assert thumb.shape == (g["th"], g["tw"], 3)
+        # resized pixels byte-exact vs the pure kernel, crc gates them
+        assert (thumb == r).all()
+        assert g["crc"] == zlib.crc32(r.tobytes()) == stats[6]
+        flat = r.astype(np.int64)
+        assert (g["px_sum"], g["px_sq_sum"]) == (
+            int(flat.sum()), int((flat * flat).sum())
+        )
