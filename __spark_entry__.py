@@ -4398,6 +4398,102 @@ from best
 """
 
 
+# Q-SFC-K: space-filling-curve cell keys (functions/sfc.py) — the S2 half
+# of the H3/S2 analog: every derived point's grid cell at res 14 plus its
+# Hilbert key (chained codegen projections, one per bit level) and Morton
+# key (6 shift-or-mask steps per axis). The twin re-derives both curves
+# independently via chained CTEs (one per bit level / spread step) over
+# the same integer (ix, iy) — exact integer ops end to end, no floats
+# beyond the shared cell-assignment formula text.
+def q_sfc_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.functions import sfc
+
+    res = 14
+    pts = synth.derive_points(spark, sf_dir).withColumn(
+        "cell_id", C.latlng_to_cell("lat", "lon", res)
+    )
+    return sfc.with_hilbert_key(pts, "cell_id", res=res, out="hkey").select(
+        "point_id",
+        "cell_id",
+        "hkey",
+        sfc.morton_key("cell_id", res).alias("zkey"),
+    )
+
+
+def sql_sfc_keys() -> str:
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.functions import sfc
+
+    res = 14
+    size = C.cell_size_deg(res)
+    nx, ny = 2 << res, 1 << res
+    ix = f"least(greatest(cast(floor((lon + 180.0) / {size!r}) as bigint), 0), {nx - 1})"
+    iy = f"least(greatest(cast(floor((lat + 90.0) / {size!r}) as bigint), 0), {ny - 1})"
+    hc, hf = sfc.hilbert_cte_sql("g", "point_id", "ix", "iy", res)
+    mc, mf = sfc.morton_cte_sql("g", "point_id", "ix", "iy")
+    return f"""
+with pts as ({synth.points_sql()}),
+g as materialized (
+  select point_id, {ix} as ix, {iy} as iy from pts),
+{hc},
+{mc},
+hk as ({hf}),
+zk as ({mf})
+select g.point_id,
+       {res} * {C.RES_BITS_SHIFT} + g.ix * {C.IX_SHIFT} + g.iy as cell_id,
+       hk.hkey, zk.zkey
+from g join hk using (point_id) join zk using (point_id)
+"""
+
+
+# Q-SFC-B: SFC bbox scan — the range planner (bbox -> merged Hilbert key
+# ranges, planned at a coarse res and scaled by 4^e via the quadtree
+# prefix property) prefilters on the key, then the exact bbox predicate
+# refines; the twin is the PLAIN bbox predicate. Green iff the planner
+# admits no false negatives and the refine removes every extra — the
+# S2RegionCoverer-style scan contract. Bbox bounds are exact binary
+# decimals (no float-literal hazard). The key in the filter is the FOLD
+# expression (hilbert_key_expr), not the projection chain — a Filter
+# pushed through with_hilbert_key's chained Projects explodes
+# exponentially (sfc.py hazard note); on the read path proper the key is
+# a stored column and this does not arise.
+def q_sfc_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.functions import sfc
+
+    res = 14
+    bbox = (-7.8125, 110.4375, -7.59375, 110.71875)
+    pts = synth.derive_points(spark, sf_dir).withColumn(
+        "cell_id", C.latlng_to_cell("lat", "lon", res)
+    )
+    ranges = sfc.bbox_key_ranges(res, *bbox, curve="hilbert", plan_res=10)
+    return (
+        pts.filter(
+            sfc.key_range_filter(sfc.hilbert_key_expr("cell_id", res), ranges)
+        )
+        .filter(
+            (F.col("lat") >= bbox[0])
+            & (F.col("lon") >= bbox[1])
+            & (F.col("lat") <= bbox[2])
+            & (F.col("lon") <= bbox[3])
+        )
+        .select("point_id", "cell_id")
+    )
+
+
+def sql_sfc_bbox_scan() -> str:
+    from osm_search_spark.functions import cells as C
+
+    return f"""
+with pts as ({synth.points_sql()})
+select point_id, {C.latlng_to_cell_sql('lat', 'lon', 14)} as cell_id
+from pts
+where lat >= {synth.dlit(-7.8125)} and lon >= {synth.dlit(110.4375)}
+  and lat <= {synth.dlit(-7.59375)} and lon <= {synth.dlit(110.71875)}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join + tile assignment at sf0.001."""
     return q_spatial_tile_join(spark, SF001)
@@ -4457,6 +4553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "sfc_keys": q_sfc_keys,
+        "sfc_bbox_scan": q_sfc_bbox_scan,
         "image_resize": q_image_resize,
         "caption_consistency": q_caption_consistency,
         "hmm_match": q_hmm_match,
@@ -4560,6 +4658,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "sfc_keys": sql_sfc_keys(),
+        "sfc_bbox_scan": sql_sfc_bbox_scan(),
         "image_resize": sql_image_resize(),
         "caption_consistency": sql_caption_consistency(),
         "hmm_match": sql_hmm_match(),
