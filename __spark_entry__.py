@@ -1405,6 +1405,66 @@ def sql_hotspots() -> str:
     return hotspot_sql(f"({synth.points_sql()})")
 
 
+# Q5l3: focal (neighborhood) statistics — raster map algebra over the
+# res-13 point-density raster: each valued cell's 3x3 ring aggregated by
+# one scatter-explode + groupBy (the IDW surface's shape). All-integer
+# except focal_mean = exact-int double division (parity-safe); the twin
+# casts its HUGEINT sum (round-6 rule) and mirrors the ring with
+# wrap/clamp + per-source distinct.
+FOCAL_RES, FOCAL_K = 13, 1
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.focal import focal_stats
+
+    raster = (
+        synth.derive_points(spark, sf_dir)
+        .groupBy(C.latlng_to_cell("lat", "lon", FOCAL_RES).alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    return focal_stats(raster, FOCAL_RES, FOCAL_K)
+
+
+def sql_focal_stats() -> str:
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.focal import focal_sql
+
+    cell = C.latlng_to_cell_sql("lat", "lon", FOCAL_RES)
+    rel = (
+        f"(select {cell} as cell_id, count(*) as value "
+        f"from ({synth.points_sql()}) group by 1)"
+    )
+    return focal_sql(rel, FOCAL_RES, FOCAL_K)
+
+
+# Q5l2: exact point-level DBSCAN (vs Q5l's cell-density approximation) —
+# per-point eps-ball roles (core/border/noise) + min-label cluster ids
+# over the derived points. eps = 0.0032 deg / min_pts = 4 picked so the
+# sf0.01 gate exercises all three roles (11.6k core / 3.2k border / 188
+# noise, 809 clusters, max cluster 20) while the twin's recursive
+# closure stays fixture-bounded. The eps predicate is ONE shared SQL
+# text; the twin mirrors cell assignment, the 3x3 ring, and min-label
+# CC via a recursive transitive-closure CTE.
+DBSCAN_EPS, DBSCAN_MIN_PTS = 0.0032, 4
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.dbscan import dbscan
+
+    return dbscan(
+        synth.derive_points(spark, sf_dir), DBSCAN_EPS, DBSCAN_MIN_PTS
+    )
+
+
+def sql_dbscan() -> str:
+    from osm_search_spark.operators.dbscan import dbscan_sql
+
+    return dbscan_sql(
+        f"({synth.points_sql()})", DBSCAN_EPS, DBSCAN_MIN_PTS
+    )
+
+
 # Q5k: geodesic ring measures — spherical area (Chamberlain-Duquette
 # shoelace, exact for lat-lon rectangles) and haversine perimeter over
 # the jagged fixture rings, both as pure Column folds. libm trig ->
@@ -4513,11 +4573,12 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
+    "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 61  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 63  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -4553,6 +4614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "focal_stats": q_focal_stats,
+        "dbscan_clusters": q_dbscan,
         "sfc_keys": q_sfc_keys,
         "sfc_bbox_scan": q_sfc_bbox_scan,
         "image_resize": q_image_resize,
@@ -4658,6 +4721,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "focal_stats": sql_focal_stats(),
+        "dbscan_clusters": sql_dbscan(),
         "sfc_keys": sql_sfc_keys(),
         "sfc_bbox_scan": sql_sfc_bbox_scan(),
         "image_resize": sql_image_resize(),

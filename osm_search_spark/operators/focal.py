@@ -1,0 +1,111 @@
+"""Focal (neighborhood) statistics — raster map algebra on the cell grid.
+
+Zonal stats (raster.py) aggregates a raster UNDER polygons; focal stats
+aggregates each cell's (2k+1)x(2k+1) Chebyshev neighborhood — the
+smoothing / gradient primitive behind density surfaces, terrain
+derivatives, and convolution-style map algebra (ArcGIS "Focal
+Statistics", PostGIS ST_MapAlgebra neighborhoods). The reference has no
+raster layer at all; this extends its grid the same way zonal stats and
+the IDW surface do.
+
+Plan shape (100 TB posture): SCATTER formulation — every valued cell
+explodes its own k-ring (the same bounded (2k+1)^2 explode as the IDW
+surface) and contributions are combined with ONE map-side-combinable
+groupBy on the target cell, then an inner join back to the input
+restricts the output to valued cells (focal stats are defined on the
+input mask, not on the dilated halo). No window over a global sort, no
+self-join on range predicates; cost ∝ cells × (2k+1)^2.
+
+Pinned semantics:
+- neighborhood = functions/cells.k_ring (longitude wrap, latitude clamp,
+  center cell INCLUDED — ArcGIS-style);
+- at the latitude clamp the relation is scatter-defined: a clamped cell
+  contributes once per DISTINCT ring cell (k_ring dedups), mirroring the
+  IDW surface's contract; in-band (away from the poles) scatter ==
+  gather == true convolution;
+- focal_mean = focal_sum / focal_n, both engines dividing the identical
+  exact integers (no rounding needed for integer-valued rasters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+
+
+def focal_stats(
+    raster: DataFrame,
+    res: int,
+    k: int = 1,
+    cell: str = "cell_id",
+    value: str = "value",
+) -> DataFrame:
+    """(cell_id, value, focal_n, focal_sum, focal_min, focal_max,
+    focal_mean, focal_range) for every input cell; the neighborhood is
+    the (2k+1)^2 k-ring. Input must hold ONE row per cell (the operator
+    raises downstream nothing — enforce upstream via groupBy; duplicate
+    cells would double-contribute)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    src = raster.select(
+        F.col(cell).alias("cell_id"), F.col(value).alias("v")
+    )
+    scattered = src.select(
+        F.col("v").alias("nv"),
+        F.explode(C.k_ring("cell_id", k, res)).alias("cell_id"),
+    )
+    agg = scattered.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("focal_n"),
+        F.sum("nv").alias("focal_sum"),
+        F.min("nv").alias("focal_min"),
+        F.max("nv").alias("focal_max"),
+    )
+    return src.join(agg, "cell_id").select(
+        "cell_id",
+        F.col("v").alias("value"),
+        "focal_n",
+        "focal_sum",
+        "focal_min",
+        "focal_max",
+        (F.col("focal_sum") / F.col("focal_n")).alias("focal_mean"),
+        (F.col("focal_max") - F.col("focal_min")).alias("focal_range"),
+    )
+
+
+def focal_sql(raster_rel: str, res: int, k: int = 1) -> str:
+    """DuckDB twin over a relation with (cell_id, value): identical
+    ring enumeration (wrap/clamp + distinct = k_ring), integer-exact
+    cell decode (// — never double division), and the HUGEINT-sum cast
+    (CLAUDE.md round-6)."""
+    nx, ny = 2 << res, 1 << res
+    offs = ", ".join(f"({d})" for d in range(-k, k + 1))
+    return f"""
+with src as materialized (
+  select cell_id, value,
+         ((cell_id % {C.RES_BITS_SHIFT}) // {C.IX_SHIFT}) as ix,
+         (cell_id % {C.IX_SHIFT}) as iy
+  from {raster_rel}
+),
+scattered as (
+  select distinct cell_id as src_cell, value as nv,
+         ({res} * {C.RES_BITS_SHIFT}
+          + (((ix + dx.d + {nx}) % {nx}) * {C.IX_SHIFT})
+          + least(greatest(iy + dy.d, 0), {ny - 1})) as cell_id
+  from src, (values {offs}) dx(d), (values {offs}) dy(d)
+),
+agg as (
+  select cell_id as acell,
+         cast(count(*) as bigint) as focal_n,
+         cast(sum(nv) as bigint) as focal_sum,
+         min(nv) as focal_min,
+         max(nv) as focal_max
+  from scattered group by cell_id
+)
+select s.cell_id, s.value, a.focal_n, a.focal_sum, a.focal_min,
+       a.focal_max,
+       a.focal_sum / a.focal_n as focal_mean,
+       a.focal_max - a.focal_min as focal_range
+from src s join agg a on a.acell = s.cell_id
+"""
