@@ -1405,6 +1405,57 @@ def sql_hotspots() -> str:
     return hotspot_sql(f"({synth.points_sql()})")
 
 
+# Q26o: per-tile image mosaics (contact sheets) — geotag -> res-11 tile,
+# deterministic cap (9 smallest image_ids, WindowGroupLimit map-side),
+# decode + bit-exact 16x16 thumbnails composed row-major on one RGB
+# canvas per tile. Gate = exact int64 pixel sums + crc32 of the canvas
+# (byte-exact without shipping it); the twin re-derives every tile
+# driver-side through the SAME pure kernel over the closed-form image
+# fixture (the image-oracle pattern, CLAUDE.md round-2).
+_MOSAIC_N, _MOSAIC_RES, _MOSAIC_GRID, _MOSAIC_THUMB = 240, 11, 3, 16
+
+
+def q_tile_mosaics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.mosaic import tile_mosaic
+    from osm_search_spark.sources import images as img_src
+
+    return tile_mosaic(
+        img_src.images_table(spark, _MOSAIC_N),
+        res=_MOSAIC_RES, grid=_MOSAIC_GRID, thumb=_MOSAIC_THUMB,
+    ).select("tile_id", "n_images", "px_sum", "px_sq_sum", "crc")
+
+
+def sql_tile_mosaics() -> str:
+    import numpy as np
+
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.mosaic import mosaic_py
+    from osm_search_spark.sources import images as img_src
+
+    tiles: dict[int, list] = {}
+    for i in range(_MOSAIC_N):
+        r = img_src.make_row(i)
+        t = int(
+            C.np_latlng_to_cell(
+                np.array([r["lat"]]), np.array([r["lon"]]), _MOSAIC_RES
+            )[0]
+        )
+        tiles.setdefault(t, []).append((r["image_id"], r["bytes"], r["fmt"]))
+    rows = []
+    for t in sorted(tiles):
+        items = sorted(tiles[t])[: _MOSAIC_GRID * _MOSAIC_GRID]
+        n, s, sq, crc, _png = mosaic_py(items, _MOSAIC_GRID, _MOSAIC_THUMB)
+        rows.append(f"({t}, {n}, {s}, {sq}, {crc})")
+    return f"""
+select cast(tile_id as bigint) as tile_id, cast(n_images as int) as n_images,
+       cast(px_sum as bigint) as px_sum, cast(px_sq_sum as bigint) as px_sq_sum,
+       cast(crc as bigint) as crc
+from (values
+{",".join(rows)}
+) t(tile_id, n_images, px_sum, px_sq_sum, crc)
+"""
+
+
 # Q5l3: focal (neighborhood) statistics — raster map algebra over the
 # res-13 point-density raster: each valued cell's 3x3 ring aggregated by
 # one scatter-explode + groupBy (the IDW surface's shape). All-integer
@@ -4573,12 +4624,12 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "focal_stats", "dbscan_clusters",
+    "tile_mosaics", "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 63  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 64  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -4614,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "tile_mosaics": q_tile_mosaics,
         "focal_stats": q_focal_stats,
         "dbscan_clusters": q_dbscan,
         "sfc_keys": q_sfc_keys,
@@ -4721,6 +4773,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "tile_mosaics": sql_tile_mosaics(),
         "focal_stats": sql_focal_stats(),
         "dbscan_clusters": sql_dbscan(),
         "sfc_keys": sql_sfc_keys(),
