@@ -1489,6 +1489,159 @@ def sql_focal_stats() -> str:
     return focal_sql(rel, FOCAL_RES, FOCAL_K)
 
 
+# Q26p: polyline merge (GEOS LineMerger / ST_LineMerge) — a planted
+# street network (chains with scrambled orientations, a T junction, a
+# 4-segment cycle, a 2-line loop, a pre-closed ring, an isolated
+# segment) merged at degree-2 nodes. The twin re-derives every merged
+# line DRIVER-SIDE through the SAME pure walk kernel over the same
+# fixture (pure-python node/flag/union-find mirror of the distributed
+# plan), embedded as VALUES; the gate explodes vertices to scalar rows
+# (the simplify_rings pattern). Coordinates are exact halves/quarters ->
+# bit-exact, NO rounding.
+def _linemerge_fixture() -> list[tuple[int, list, list]]:
+    segs: list[tuple[int, list, list]] = []
+    sid = 0
+    b_lat, b_lon = -7.60, 110.30
+
+    def add(la, lo):
+        nonlocal sid
+        segs.append((sid, [float(x) for x in la], [float(x) for x in lo]))
+        sid += 1
+
+    # five chains, lengths 3..7, every other segment reversed
+    for c in range(5):
+        y = b_lat + c * 0.25
+        for k in range(3 + c):
+            x0, x1 = b_lon + k * 0.25, b_lon + (k + 1) * 0.25
+            if (c + k) % 2:
+                add([y, y], [x1, x0])
+            else:
+                add([y, y], [x0, x1])
+    # T junction: three ends at one node
+    ty, tx = b_lat + 2.0, b_lon
+    add([ty, ty], [tx, tx + 0.25])
+    add([ty, ty], [tx + 0.25, tx + 0.5])
+    add([ty, ty + 0.25], [tx + 0.25, tx + 0.25])
+    # square cycle, scrambled orientations
+    cy, cx = b_lat + 3.0, b_lon
+    add([cy, cy], [cx + 0.25, cx])
+    add([cy + 0.25, cy], [cx + 0.25, cx + 0.25])
+    add([cy + 0.25, cy + 0.25], [cx, cx + 0.25])
+    add([cy, cy + 0.25], [cx, cx])
+    # two-line loop
+    ly, lx = b_lat + 4.0, b_lon
+    add([ly, ly + 0.25, ly], [lx, lx + 0.25, lx + 0.5])
+    add([ly, ly - 0.25, ly], [lx, lx + 0.25, lx + 0.5])
+    # pre-closed ring + isolated segment
+    add([b_lat + 5.0, b_lat + 5.0, b_lat + 5.25, b_lat + 5.0],
+        [b_lon, b_lon + 0.25, b_lon + 0.25, b_lon])
+    add([b_lat + 6.0, b_lat + 6.0], [b_lon, b_lon + 0.25])
+    return segs
+
+
+def _linemerge_expected() -> list[tuple[int, int, list, list]]:
+    from osm_search_spark.operators.linemerge import _merge_component
+
+    segs = _linemerge_fixture()
+    ends: dict = {}
+    for sid, la, lo in segs:
+        for e, key in ((0, (la[0], lo[0])), (1, (la[-1], lo[-1]))):
+            ends.setdefault(key, []).append((sid, e))
+    open_nodes = {
+        k for k, v in ends.items() if len(v) == 2 and v[0][0] != v[1][0]
+    }
+    flags = {sid: [False, False] for sid, _, _ in segs}
+    for k in open_nodes:
+        for sid, e in ends[k]:
+            flags[sid][e] = True
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for k in open_nodes:
+        (a, _), (b, _) = ends[k]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for sid, la, lo in segs:
+        comps.setdefault(find(sid), []).append(
+            (sid, la, lo, flags[sid][0], flags[sid][1])
+        )
+    rows: list = []
+    for comp in sorted(comps):
+        rows.extend(_merge_component(comps[comp]))
+    return rows
+
+
+def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.linemerge import line_merge
+
+    df = spark.createDataFrame(
+        _linemerge_fixture(),
+        "line_id long, lats array<double>, lons array<double>",
+    )
+    merged = line_merge(df)
+    z = F.posexplode(F.arrays_zip("lats", "lons"))
+    return merged.select(
+        "merged_id", "n_lines", z.alias("pos", "pt")
+    ).select(
+        "merged_id",
+        "n_lines",
+        (F.col("pos") + 1).cast("int").alias("seq"),
+        F.col("pt.lats").alias("lat"),
+        F.col("pt.lons").alias("lon"),
+    )
+
+
+def sql_line_merge() -> str:
+    rows = []
+    for mid, n, la, lo in _linemerge_expected():
+        for i, (a, b) in enumerate(zip(la, lo)):
+            rows.append(
+                f"(cast({mid} as bigint), cast({n} as int), "
+                f"cast({i + 1} as int), {synth.dlit(a)}, {synth.dlit(b)})"
+            )
+    return (
+        "select * from (values "
+        + ", ".join(rows)
+        + ") t(merged_id, n_lines, seq, lat, lon)"
+    )
+
+
+# Q5l4: Getis-Ord Gi* hot-spot z-scores over the same density raster —
+# focal window sums vs global moments, the IDENTICAL GI_EXPR text on
+# both engines (integer sums + correctly-rounded / and sqrt -> NO
+# rounding needed in the gate).
+def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.focal import gi_star
+
+    raster = (
+        synth.derive_points(spark, sf_dir)
+        .groupBy(C.latlng_to_cell("lat", "lon", FOCAL_RES).alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    return gi_star(raster, FOCAL_RES, FOCAL_K)
+
+
+def sql_gi_star() -> str:
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.focal import gi_star_sql
+
+    cell = C.latlng_to_cell_sql("lat", "lon", FOCAL_RES)
+    rel = (
+        f"(select {cell} as cell_id, count(*) as value "
+        f"from ({synth.points_sql()}) group by 1)"
+    )
+    return gi_star_sql(rel, FOCAL_RES, FOCAL_K)
+
+
 # Q5l2: exact point-level DBSCAN (vs Q5l's cell-density approximation) —
 # per-point eps-ball roles (core/border/noise) + min-label cluster ids
 # over the derived points. eps = 0.0032 deg / min_pts = 4 picked so the
@@ -4624,12 +4777,12 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "tile_mosaics", "focal_stats", "dbscan_clusters",
+    "line_merge", "gi_star", "tile_mosaics", "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 64  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 66  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -4665,6 +4818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "line_merge": q_line_merge,
+        "gi_star": q_gi_star,
         "tile_mosaics": q_tile_mosaics,
         "focal_stats": q_focal_stats,
         "dbscan_clusters": q_dbscan,
@@ -4773,6 +4928,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "line_merge": sql_line_merge(),
+        "gi_star": sql_gi_star(),
         "tile_mosaics": sql_tile_mosaics(),
         "focal_stats": sql_focal_stats(),
         "dbscan_clusters": sql_dbscan(),

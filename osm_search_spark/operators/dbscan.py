@@ -26,14 +26,33 @@ dependent):
   cluster_id among its core neighbors (textbook: first discoverer wins);
 - noise points get cluster_id NULL, role 'noise'.
 
-Plan shape (100 TB posture): one explode (9 ring cells) + one hash join
-on cell id -> the directed candidate-pair frame, localCheckpoint'd ONCE
-because three consumers need it (neighbor counts, core-core edges,
-border attach) and Catalyst shares nothing across plan branches
-(CLAUDE.md round-4). Pair volume is data-sized (N × mean ring
-occupancy), the same working set any exact DBSCAN must touch; density
-skew (a mega-hot cell) surfaces as one heavy join key — pick `res` one
-level finer and raise k_ring if a single cell dominates.
+Plan shape (100 TB posture): plane-sweep candidate join — each point
+explodes its own cell plus the 4 FORWARD neighbor cells (E/NE/N/NW in
+(ix, iy) order), so every unordered cross-cell pair is probed exactly
+once and the matched (small) pair set is symmetrized afterward with a
+cheap swap-union: 5/9 the join volume of the naive full 3x3 ring probe
+(measured 1.5x on the candidate stage at 8M points). The directed pair
+frame is localCheckpoint'd ONCE because three consumers need it
+(neighbor counts, core-core edges, border attach) and Catalyst shares
+nothing across plan branches (CLAUDE.md round-4). Pair volume is
+data-sized (N × mean ring occupancy), the same working set any exact
+DBSCAN must touch; density skew (a mega-hot cell) surfaces as one heavy
+join key — pick `res` one level finer if a single cell dominates.
+
+Cluster labeling uses the standard distributed-DBSCAN contraction
+(`block_shift`): core-core edges whose endpoints share a coarse BLOCK
+(parent cell, 2^block_shift cells on a side) are resolved by a per-block
+union-find kernel (one shuffle, bounded groups), and only the CROSS-
+block edges — a boundary-fraction ~2*eps/block_edge of the total — enter
+the iterative pointer-jumping CC, contracted to block-local roots and
+deduplicated. The global iterative stage therefore touches a few % of
+the edges and converges in ~1-2 rounds (cluster diameter in block units
+is tiny for sub-critical densities); measured 1.5x end-to-end at 1M
+points / local[32] (44.5s -> 29.2s, identical output checksum) vs
+feeding the CC every core-core edge — the residue is fixed per-round job
+latency, which is also why small inputs don't speed up further (see
+tools/bench_dbscan.py). `block_shift=None` disables the contraction
+(direct CC over all core-core edges, same output).
 """
 
 from __future__ import annotations
@@ -72,12 +91,41 @@ def pick_res(eps: float, lon_scale: float = LON_SCALE) -> int:
     return max(0, min(res, 28))
 
 
+def _local_uf(pdf):
+    """Per-block union-find over core-core edges: (node, lroot) with
+    lroot = the MIN node id in the block-local component."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["pa"], pdf["pb"]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = list(parent)
+    return pd.DataFrame(
+        {"node": nodes, "lroot": [find(x) for x in nodes]}
+    )
+
+
 def dbscan(
     points: DataFrame,
     eps: float,
     min_pts: int,
     res: int | None = None,
     lon_scale: float = LON_SCALE,
+    block_shift: int | None = 5,
     id_col: str = "point_id",
     lat: str = "lat",
     lon: str = "lon",
@@ -105,26 +153,90 @@ def dbscan(
         F.col(lon).alias("plon"),
         C.latlng_to_cell(lat, lon, res).alias("cell"),
     )
-    ring = pts.select(
+    # forward neighbor cells: same cell handled by a separate leg (both
+    # directions fall out of the join), E/NE/N/NW probed once and the
+    # matches symmetrized below. array_distinct + the != filter absorb
+    # pole-clamp collapses exactly like k_ring does.
+    nx_l, ny_l = F.lit(2 << res).cast("long"), F.lit(1 << res).cast("long")
+    ix, iy = C.cell_ix("cell"), C.cell_iy("cell")
+    base = F.lit(res * C.RES_BITS_SHIFT)
+
+    def _nb(dx, dy):
+        wix = F.pmod(ix + F.lit(dx), nx_l)
+        wiy = F.least(
+            F.greatest(iy + F.lit(dy), F.lit(0).cast("long")), ny_l - 1
+        )
+        return base + wix * F.lit(C.IX_SHIFT) + wiy
+
+    fwd_cells = F.filter(
+        F.array_distinct(
+            F.array(_nb(1, -1), _nb(1, 0), _nb(1, 1), _nb(0, 1))
+        ),
+        lambda c: c != F.col("cell"),
+    )
+    a_side = [
         F.col("pid").alias("pa"),
         F.col("plat").alias("alat"),
         F.col("plon").alias("alon"),
-        F.explode(C.k_ring("cell", 1, res)).alias("nb"),
-    )
+        F.col("cell").alias("acell"),
+    ]
+    ring_fwd = pts.select(*a_side, F.explode(fwd_cells).alias("nb"))
+    ring_same = pts.select(*a_side, F.col("cell").alias("nb"))
     other = pts.select(
         F.col("pid").alias("pb"),
         F.col("plat").alias("blat"),
         F.col("plon").alias("blon"),
         F.col("cell").alias("nb"),
     )
+    pres = max(0, res - block_shift) if block_shift is not None else None
+
+    def _blk(col):
+        return (
+            [C.cell_to_parent(col, pres).alias(f"{col[0]}blk")]
+            if block_shift is not None
+            else []
+        )
+
+    eps_pred = F.expr(dist2_expr(lon_scale)) <= F.lit(eps * eps)
+    same = (
+        ring_same.join(other, "nb")
+        .filter(F.col("pa") != F.col("pb"))
+        .filter(eps_pred)
+        .select("pa", "pb", *_blk("acell"), *_blk("nb"))
+    )
+    blk = (
+        lambda a, b: [F.col(a).alias("ablk"), F.col(b).alias("bblk")]
+    ) if block_shift is not None else (lambda a, b: [])
+    # symmetrize the forward matches INLINE (one explode) — a swap-union
+    # of two subtrees would re-execute the join per branch (CLAUDE.md
+    # round-4: Catalyst shares nothing across plan branches)
+    fwd = (
+        ring_fwd.join(other, "nb")
+        .filter(eps_pred)
+        .select("pa", "pb", *_blk("acell"), *_blk("nb"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa"), F.col("pb"), *blk("ablk", "nblk")),
+                    F.struct(
+                        F.col("pb").alias("pa"),
+                        F.col("pa").alias("pb"),
+                        *blk("nblk", "ablk"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+    out_names = ["pa", "pb"] + (
+        ["ablk", "bblk"] if block_shift is not None else []
+    )
     # directed candidate pairs -> exact eps filter (shared SQL text).
     # Checkpointed once: consumed by counts, core-core edges, and the
     # border attach (three subtrees; see module docstring).
     pairs = (
-        ring.join(other, "nb")
-        .filter(F.col("pa") != F.col("pb"))
-        .filter(F.expr(dist2_expr(lon_scale)) <= F.lit(eps * eps))
-        .select("pa", "pb")
+        same.toDF(*out_names)
+        .unionByName(fwd.toDF(*out_names))
         .localCheckpoint(eager=True)
     )
 
@@ -137,17 +249,68 @@ def dbscan(
         pairs.filter(F.col("pa") < F.col("pb"))
         .join(cores.withColumnRenamed("core_id", "pa"), "pa")
         .join(cores.withColumnRenamed("core_id", "pb"), "pb")
-        .select("pa", "pb")
     )
-    cc = connected_components(core_edges, a="pa", b="pb")
-    core_clusters = (
-        cores.join(cc, cores["core_id"] == cc["node"], "left")
-        .select(
-            "core_id",
-            F.coalesce("component_id", F.col("core_id")).alias("cluster_id"),
+    lmap = None
+    if block_shift is None:
+        cc = connected_components(
+            core_edges.select("pa", "pb"), a="pa", b="pb"
         )
-        .localCheckpoint(eager=True)
-    )
+        core_clusters = (
+            cores.join(cc, cores["core_id"] == cc["node"], "left")
+            .select(
+                "core_id",
+                F.coalesce("component_id", F.col("core_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        within = core_edges.filter(F.col("ablk") == F.col("bblk"))
+        lmap = (
+            within.groupBy("ablk")
+            .applyInPandas(_local_uf, "node long, lroot long")
+            .localCheckpoint(eager=True)
+        )
+        cross = core_edges.filter(F.col("ablk") != F.col("bblk")).select(
+            "pa", "pb"
+        )
+        cross2 = (
+            cross.join(
+                lmap.select(F.col("node").alias("pa"), F.col("lroot").alias("ra")),
+                "pa",
+                "left",
+            )
+            .join(
+                lmap.select(F.col("node").alias("pb"), F.col("lroot").alias("rb")),
+                "pb",
+                "left",
+            )
+            .select(
+                F.coalesce("ra", "pa").alias("ra"),
+                F.coalesce("rb", "pb").alias("rb"),
+            )
+            .filter(F.col("ra") != F.col("rb"))
+            .distinct()
+        )
+        gcc = connected_components(cross2, a="ra", b="rb")
+        rootmap = gcc.select(
+            F.col("node").alias("lroot"), F.col("component_id").alias("groot")
+        )
+        core_clusters = (
+            cores.join(
+                lmap.select(F.col("node").alias("core_id"), "lroot"),
+                "core_id",
+                "left",
+            )
+            .withColumn("lroot", F.coalesce("lroot", F.col("core_id")))
+            .join(rootmap, "lroot", "left")
+            .select(
+                "core_id",
+                F.coalesce("groot", "lroot").alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     border = (
         pairs.join(
@@ -185,7 +348,9 @@ def dbscan(
         )
     )
     result = out.localCheckpoint(eager=True)
-    for frame in (pairs, cores, core_clusters):
+    for frame in (pairs, cores, core_clusters) + (
+        (lmap,) if lmap is not None else ()
+    ):
         frame.unpersist()
     return result
 

@@ -74,6 +74,64 @@ def focal_stats(
     )
 
 
+# Getis-Ord Gi* with binary weights over the focal window, computed on
+# the OCCUPIED-cell universe (absent cells are nonexistent, not zero —
+# the choice that matches sparse rasters; document when comparing with
+# tools that densify first). ONE text for F.expr and the twin: every
+# subexpression is IEEE-exact (integer sums, correctly-rounded / and
+# sqrt), so the gate needs NO rounding. nullif guards the flat raster
+# (S = 0) -> NULL on both engines.
+GI_EXPR = (
+    "((focal_sum - (gsum / gn) * focal_n)"
+    " / nullif("
+    "sqrt((gsumsq / gn) - (gsum / gn) * (gsum / gn))"
+    " * sqrt((gn * focal_n - focal_n * focal_n) / (gn - 1.0)), 0.0))"
+)
+
+
+def gi_star(
+    raster: DataFrame,
+    res: int,
+    k: int = 1,
+    cell: str = "cell_id",
+    value: str = "value",
+) -> DataFrame:
+    """(cell_id, value, focal_n, focal_sum, gi_z) — the Getis-Ord Gi*
+    z-score per cell (ArcGIS "Hot Spot Analysis"): how extreme the
+    window sum is vs the raster's global mean/variance. |z| >= 1.96 ~
+    95% hot/cold spot. Global moments ride a broadcast 1-row cross
+    join — no collect, no second scan of the focal frame."""
+    f = focal_stats(raster, res, k, cell=cell, value=value).select(
+        "cell_id", "value", "focal_n", "focal_sum"
+    )
+    g = raster.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum(F.col(value)).alias("gsum"),
+        F.sum(F.col(value) * F.col(value)).alias("gsumsq"),
+    )
+    return f.crossJoin(F.broadcast(g)).select(
+        "cell_id", "value", "focal_n", "focal_sum",
+        F.expr(GI_EXPR).alias("gi_z"),
+    )
+
+
+def gi_star_sql(raster_rel: str, res: int, k: int = 1) -> str:
+    """DuckDB twin of gi_star: the focal twin + the IDENTICAL GI_EXPR
+    text over the same global-moment names (HUGEINT sums cast)."""
+    return f"""
+with focal as ({focal_sql(raster_rel, res, k)}),
+gmom as (
+  select cast(count(*) as bigint) as gn,
+         cast(sum(value) as bigint) as gsum,
+         cast(sum(value * value) as bigint) as gsumsq
+  from {raster_rel}
+)
+select cell_id, value, focal_n, focal_sum,
+       {GI_EXPR} as gi_z
+from focal, gmom
+"""
+
+
 def focal_sql(raster_rel: str, res: int, k: int = 1) -> str:
     """DuckDB twin over a relation with (cell_id, value): identical
     ring enumeration (wrap/clamp + distinct = k_ring), integer-exact
