@@ -1642,6 +1642,63 @@ def sql_gi_star() -> str:
     return gi_star_sql(rel, FOCAL_RES, FOCAL_K)
 
 
+# Q5l5: emerging hot-spot analysis (space-time cube) — per-bin Gi* +
+# Mann-Kendall trend + category. Fixture: the derived points replicated
+# over 6 time bins with an md5-gated inclusion rule (the split_bucket
+# idiom) whose keep threshold GROWS with bin east of EMERG_EAST and is
+# flat west of it — planting intensifying/new hot spots in the east and
+# stationary/none cells in the west. Every decision downstream of the
+# bit-exact gi_z is a sign/comparison, so the gate needs NO rounding.
+EMERG_EAST = 110.575
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.emerging import emerging_hotspots
+
+    pts = synth.derive_points(spark, sf_dir).select(
+        "point_id", "lat", "lon",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("bin"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("emg:"), F.col("point_id").cast("string"),
+            F.lit(":"), F.col("bin").cast("string"),
+        )
+    )
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10
+    thresh = F.lit(3) + F.when(
+        F.col("lon") > F.lit(EMERG_EAST), F.col("bin")
+    ).otherwise(F.lit(0))
+    raster = (
+        pts.filter(bucket < thresh)
+        .groupBy(
+            "bin",
+            C.latlng_to_cell("lat", "lon", FOCAL_RES).alias("cell_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    return emerging_hotspots(raster, FOCAL_RES, FOCAL_K)
+
+
+def sql_emerging_hotspots() -> str:
+    from osm_search_spark.operators.emerging import emerging_sql
+
+    cell = C.latlng_to_cell_sql("lat", "lon", FOCAL_RES)
+    bucket = (
+        "(('0x' || substr(md5('emg:' || cast(point_id as varchar) || ':' "
+        "|| cast(bin as varchar)), 1, 8))::bigint % 10)"
+    )
+    rel = (
+        f"(select bin, {cell} as cell_id, count(*) as value from ("
+        f"select p.*, b.bin from ({synth.points_sql()}) p, "
+        f"(values (0), (1), (2), (3), (4), (5)) b(bin) "
+        f"where {bucket} < 3 + (case when lon > {synth.dlit(EMERG_EAST)} "
+        f"then bin else 0 end)"
+        f") group by 1, 2)"
+    )
+    return emerging_sql(rel, FOCAL_RES, FOCAL_K)
+
+
 # Q5l2: exact point-level DBSCAN (vs Q5l's cell-density approximation) —
 # per-point eps-ball roles (core/border/noise) + min-label cluster ids
 # over the derived points. eps = 0.0032 deg / min_pts = 4 picked so the
@@ -1667,6 +1724,173 @@ def sql_dbscan() -> str:
     return dbscan_sql(
         f"({synth.points_sql()})", DBSCAN_EPS, DBSCAN_MIN_PTS
     )
+
+
+# Q28h: per-group convex hull (hull.convex_hull) — cluster footprints
+# as canonical CCW rings. The twin derives the vertex SET through an
+# ENTIRELY independent characterization (Caratheodory: a point is a
+# non-vertex iff it lies in some closed non-degenerate triangle of
+# other points) and the CCW order through angle sorting from the
+# lexicographic-min vertex — no part of the monotone-chain walk is
+# mirrored. All coordinates are 1/64-deg lattice offsets from dyadic
+# bases, so every cross product is IEEE-exact on both engines (bit
+# decisions, NO rounding); slope ordering distinguishes rationals with
+# denominators <= 64 (min gap ~2.5e-4 >> division rounding).
+def _hull_fixture() -> list[tuple[int, float, float]]:
+    rows: list[tuple[int, float, float]] = []
+    for g in range(6):
+        base_lat, base_lon = -7.5 + g * 0.25, 110.25
+        n = [20, 24, 16, 28, 2, 1][g]
+        for i in range(n):
+            h1 = (g * 37 + i * 101 + i * i * 13) % 64
+            h2 = (g * 53 + i * 29 + i * i * 7) % 64
+            rows.append((g, base_lat + h2 / 64.0, base_lon + h1 / 64.0))
+        if n >= 16:  # planted duplicate + deep-interior point
+            rows.append(rows[-1])
+            rows.append((g, base_lat + 31 / 64.0, base_lon + 33 / 64.0))
+    return rows
+
+
+def q_cluster_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.hull import convex_hull
+
+    df = spark.createDataFrame(
+        _hull_fixture(), "g long, lat double, lon double"
+    )
+    h = convex_hull(df, group="g")
+    z = F.posexplode(F.arrays_zip("hull_lats", "hull_lons"))
+    return h.select("g", "n_vertices", z.alias("pos", "pt")).select(
+        "g",
+        (F.col("pos") + 1).cast("int").alias("seq"),
+        F.col("pt.hull_lats").alias("lat"),
+        F.col("pt.hull_lons").alias("lon"),
+        "n_vertices",
+    )
+
+
+def sql_cluster_hull() -> str:
+    rows = ", ".join(
+        f"(cast({g} as bigint), {synth.dlit(la)}, {synth.dlit(lo)})"
+        for g, la, lo in _hull_fixture()
+    )
+
+    def cross(ax, ay, bx, by, px, py):
+        return (
+            f"(({bx} - {ax}) * ({py} - {ay})"
+            f" - ({by} - {ay}) * ({px} - {ax}))"
+        )
+
+    s1 = cross("t.alon", "t.alat", "t.blon", "t.blat", "p.lon", "p.lat")
+    s2 = cross("t.blon", "t.blat", "t.clon", "t.clat", "p.lon", "p.lat")
+    s3 = cross("t.clon", "t.clat", "t.alon", "t.alat", "p.lon", "p.lat")
+    return f"""
+with pts as materialized (
+  select distinct g, lat, lon from (values {rows}) t(g, lat, lon)
+),
+tri as materialized (
+  select a.g, a.lat as alat, a.lon as alon, b.lat as blat, b.lon as blon,
+         c.lat as clat, c.lon as clon
+  from pts a join pts b on a.g = b.g join pts c on a.g = c.g
+  where {cross("a.lon", "a.lat", "b.lon", "b.lat", "c.lon", "c.lat")} <> 0.0e0
+),
+nonverts as (
+  select distinct p.g, p.lat, p.lon
+  from pts p join tri t on p.g = t.g
+  where (p.lat <> t.alat or p.lon <> t.alon)
+    and (p.lat <> t.blat or p.lon <> t.blon)
+    and (p.lat <> t.clat or p.lon <> t.clon)
+    and (({s1} >= 0 and {s2} >= 0 and {s3} >= 0)
+         or ({s1} <= 0 and {s2} <= 0 and {s3} <= 0))
+),
+verts as (
+  select g, lat, lon from pts
+  except
+  select g, lat, lon from nonverts
+),
+v0 as (
+  select g, lon as x0, lat as y0 from (
+    select g, lat, lon,
+           row_number() over (partition by g order by lon, lat) as rn
+    from verts
+  ) where rn = 1
+),
+ordered as (
+  select v.g, v.lat, v.lon,
+         row_number() over (partition by v.g order by
+           case when v.lon = w.x0 and v.lat = w.y0 then -1.0e308
+                when v.lon = w.x0 then 1.0e308
+                else (v.lat - w.y0) / (v.lon - w.x0) end) as seq,
+         count(*) over (partition by v.g) as nv
+  from verts v join v0 w on v.g = w.g
+)
+select g, cast(seq as int) as seq, lat, lon, cast(nv as int) as n_vertices
+from ordered
+"""
+
+
+# Q27t: trajectory similarity join — exact symmetric Hausdorff pairs
+# under a threshold (traj_sim.hausdorff_join). Fixture: 4 shape classes
+# (distinct dyadic step patterns) x 8 trips each, translated along the
+# diagonal by m * 2^-9 deg with a per-trip mid-vertex kink (breaks pure
+# translation) and one subsampled variant (n != m sides); classes are
+# 0.5 deg apart so cross-class pairs never survive. d_max = 0.005 picks
+# a strict subset of the same-class pairs (near offsets in, far offsets
+# out). The twin re-derives the FULL min/max over every unordered pair
+# from the same VALUES — the Spark side's cell/bbox pruning is a
+# superset optimization the twin does not need — with the IDENTICAL
+# dist2_points_expr text, so hd2 is bit-exact (selections only, NO
+# rounding).
+TRAJ_D_MAX = 0.005
+
+
+def _traj_fixture() -> list[tuple[int, list, list]]:
+    shapes = [
+        # (dlat, dlon) step patterns, 11 steps -> 12 vertices
+        [(0.0, 0.125)] * 6 + [(0.125, 0.0)] * 5,                 # L
+        [(0.0625, 0.125), (0.0625, -0.125)] * 5 + [(0.0625, 0.125)],  # zigzag
+        [(0.125, 0.0)] * 3 + [(0.0, 0.125)] * 4 + [(-0.125, 0.0)] * 4,  # hook
+        [(0.03125, 0.125)] * 11,                                  # ramp
+    ]
+    trips: list[tuple[int, list, list]] = []
+    tid = 0
+    for c, steps in enumerate(shapes):
+        for m in range(8):
+            off = m * 0.001953125  # 2^-9
+            la, lo = -7.5 + c * 0.5 + off, 110.25 + off
+            lats, lons = [la], [lo]
+            for i, (dy, dx) in enumerate(steps):
+                la, lo = la + dy, lo + dx
+                # per-trip kink on the 5th vertex: breaks translation
+                lats.append(la + (m * 0.00048828125 if i == 4 else 0.0))
+                lons.append(lo)
+            if m == 7:  # subsampled variant: every other vertex
+                lats, lons = lats[::2], lons[::2]
+            trips.append((tid, lats, lons))
+            tid += 1
+    return trips
+
+
+def q_traj_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.traj_sim import hausdorff_join
+
+    df = spark.createDataFrame(
+        _traj_fixture(),
+        "trip_id long, lats array<double>, lons array<double>",
+    )
+    return hausdorff_join(df, TRAJ_D_MAX)
+
+
+def sql_traj_hausdorff() -> str:
+    from osm_search_spark.operators.traj_sim import hausdorff_sql
+
+    rows = ", ".join(
+        f"(cast({tid} as bigint), "
+        f"[{', '.join(synth.dlit(x) for x in la)}], "
+        f"[{', '.join(synth.dlit(x) for x in lo)}])"
+        for tid, la, lo in _traj_fixture()
+    )
+    rel = f"(select * from (values {rows}) t(trip_id, lats, lons))"
+    return hausdorff_sql(rel, TRAJ_D_MAX)
 
 
 # Q5k: geodesic ring measures — spherical area (Chamberlain-Duquette
@@ -4777,12 +5001,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "line_merge", "gi_star", "tile_mosaics", "focal_stats", "dbscan_clusters",
+    "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
+    "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 66  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 69  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -4818,6 +5043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "emerging_hotspots": q_emerging_hotspots,
+        "cluster_hull": q_cluster_hull,
+        "traj_hausdorff": q_traj_hausdorff,
         "line_merge": q_line_merge,
         "gi_star": q_gi_star,
         "tile_mosaics": q_tile_mosaics,
@@ -4928,6 +5156,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "emerging_hotspots": sql_emerging_hotspots(),
+        "cluster_hull": sql_cluster_hull(),
+        "traj_hausdorff": sql_traj_hausdorff(),
         "line_merge": sql_line_merge(),
         "gi_star": sql_gi_star(),
         "tile_mosaics": sql_tile_mosaics(),

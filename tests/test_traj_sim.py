@@ -1,0 +1,124 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_search_spark.operators.traj_sim import hausdorff_join
+
+S = 0.991 * 0.991  # LON_SCALE^2
+
+
+def brute_hd2(a, b):
+    """Pure-python symmetric Hausdorff^2 with the pinned operation
+    order (dy*dy + (dx*dx)*s2) — independent of the numpy kernel."""
+
+    def h(p, q):
+        best = -1.0
+        for la, lo in zip(*p):
+            m = math.inf
+            for lb, ob in zip(*q):
+                dy, dx = la - lb, lo - ob
+                d2 = dy * dy + (dx * dx) * S
+                if d2 < m:
+                    m = d2
+            if m > best:
+                best = m
+        return best
+
+    return max(h(a, b), h(b, a))
+
+
+def mk(tid, pts):
+    lats = [float(p[0]) for p in pts]
+    lons = [float(p[1]) for p in pts]
+    return (tid, lats, lons)
+
+
+def walk(tid, la, lo, n=10, step=0.001):
+    pts = []
+    for i in range(n):
+        # deterministic pseudo-walk
+        la += step * (1 if (tid * 31 + i * 17) % 3 else -1)
+        lo += step * (1 if (tid * 13 + i * 7) % 2 else -1)
+        pts.append((la, lo))
+    return mk(tid, pts)
+
+
+@pytest.fixture(scope="module")
+def trips(spark):
+    rows = [walk(t, -7.0 + (t % 5) * 0.01, 110.0 + (t // 5) * 0.01)
+            for t in range(12)]
+    return rows
+
+
+def test_brute_force_parity(spark, trips):
+    # d large enough that candidate pruning keeps every pair -> compare
+    # hd2 EXACTLY against the independent pure-python derivation.
+    df = spark.createDataFrame(
+        trips, "trip_id long, lats array<double>, lons array<double>"
+    )
+    got = {
+        (r.trip_a, r.trip_b): r.hd2
+        for r in hausdorff_join(df, 1.0).collect()
+    }
+    exp = {}
+    for i in range(len(trips)):
+        for j in range(i + 1, len(trips)):
+            a, b = trips[i], trips[j]
+            exp[(a[0], b[0])] = brute_hd2((a[1], a[2]), (b[1], b[2]))
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == v, k  # bit-exact
+
+
+def test_threshold_and_order(spark, trips):
+    df = spark.createDataFrame(
+        trips, "trip_id long, lats array<double>, lons array<double>"
+    )
+    d = 0.02
+    out = hausdorff_join(df, d).collect()
+    assert out, "threshold should keep some pairs"
+    assert all(r.trip_a < r.trip_b for r in out)
+    assert all(r.hd2 <= d * d for r in out)
+    # and it is a strict subset of all pairs
+    n = len(trips)
+    assert len(out) < n * (n - 1) // 2
+
+
+def test_translated_copy_is_close(spark):
+    base = [(-7.5 + i * 0.01, 110.5 + i * 0.005) for i in range(8)]
+    shifted = [(la + 0.001, lo + 0.001) for la, lo in base]
+    far = [(la + 2.0, lo + 2.0) for la, lo in base]
+    df = spark.createDataFrame(
+        [mk(0, base), mk(1, shifted), mk(2, far)],
+        "trip_id long, lats array<double>, lons array<double>",
+    )
+    out = {(r.trip_a, r.trip_b) for r in hausdorff_join(df, 0.01).collect()}
+    assert (0, 1) in out
+    assert not any(2 in p for p in out)
+    # translation bound: H <= |t| in the metric
+    hd2 = hausdorff_join(df, 0.01).filter("trip_a = 0").collect()[0].hd2
+    # slack: dx=(lo+0.001)-lo carries the ULP(110) quantization (~7e-15)
+    assert hd2 <= 0.001 * 0.001 * (1 + S) * (1 + 1e-9)
+
+
+def test_unequal_lengths_and_empty(spark):
+    a = mk(0, [(-7.0, 110.0), (-7.0, 110.002), (-7.0, 110.004)])
+    b = mk(1, [(-7.0, 110.001)])  # 3 vs 1 points
+    e = (2, [], [])
+    df = spark.createDataFrame(
+        [a, b, e], "trip_id long, lats array<double>, lons array<double>"
+    )
+    out = hausdorff_join(df, 0.01).collect()
+    assert [(r.trip_a, r.trip_b) for r in out] == [(0, 1)]
+    # h(a,b) = dist from farthest a-endpoint to the single b point
+    dy, dx = 0.0, 110.004 - 110.001
+    assert out[0].hd2 == dy * dy + (dx * dx) * S
+
+
+def test_disjoint_regions_no_candidates(spark):
+    df = spark.createDataFrame(
+        [mk(0, [(-7.0, 110.0)]), mk(1, [(7.0, 120.0)])],
+        "trip_id long, lats array<double>, lons array<double>",
+    )
+    assert hausdorff_join(df, 0.01).count() == 0
