@@ -1642,6 +1642,32 @@ def sql_gi_star() -> str:
     return gi_star_sql(rel, FOCAL_RES, FOCAL_K)
 
 
+# Q5l6: local Moran's I (Anselin LISA) over the same density raster as
+# gi_star — spatial autocorrelation with HH/LL/HL/LH quadrant labels.
+# The IDENTICAL expression texts on both engines over exact integer
+# moments (neighbor sum/count from focal_sum/focal_n) -> NO rounding.
+def q_moran_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.focal import moran_local
+
+    raster = (
+        synth.derive_points(spark, sf_dir)
+        .groupBy(C.latlng_to_cell("lat", "lon", FOCAL_RES).alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    return moran_local(raster, FOCAL_RES, FOCAL_K)
+
+
+def sql_moran_local() -> str:
+    from osm_search_spark.operators.focal import moran_sql
+
+    cell = C.latlng_to_cell_sql("lat", "lon", FOCAL_RES)
+    rel = (
+        f"(select {cell} as cell_id, count(*) as value "
+        f"from ({synth.points_sql()}) group by 1)"
+    )
+    return moran_sql(rel, FOCAL_RES, FOCAL_K)
+
+
 # Q5l5: emerging hot-spot analysis (space-time cube) — per-bin Gi* +
 # Mann-Kendall trend + category. Fixture: the derived points replicated
 # over 6 time bins with an md5-gated inclusion rule (the split_bucket
@@ -2595,6 +2621,86 @@ select user_id, event_id,
        cast(sum(new_sess) over (partition by user_id order by ts, event_id
             rows between unbounded preceding and current row) as bigint) as session_id
 from e
+"""
+
+
+# Q24b: origin-destination flow matrix — trips segmented from the
+# derived event ping stream (trips.segment_trips, 1800s gap rule; the
+# jump rule is disabled so the twin needs no haversine), origin/dest =
+# first/last ping's cell at OD_RES, flows + ping mass per (o, d) pair.
+# The classic mobility-analytics rollup on top of the trip segmenter.
+OD_RES = 9
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.trips import segment_trips
+
+    lat_e = synth.LAT_EXPR.replace("o_orderkey", "event_id")
+    lon_e = synth.LON_EXPR.replace("o_orderkey", "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("tsl"),
+        F.expr(lat_e).alias("lat"), F.expr(lon_e).alias("lon"),
+    )
+    t = segment_trips(
+        ev, max_gap_s=1800, max_jump_km=1.0e12,
+        entity="user_id", ts="tsl",
+    )
+    cell = C.latlng_to_cell("lat", "lon", OD_RES)
+    per_trip = t.groupBy("user_id", "trip_seq").agg(
+        F.min_by(cell, F.struct("tsl", "event_id")).alias("o_cell"),
+        F.max_by(cell, F.struct("tsl", "event_id")).alias("d_cell"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_trip.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).alias("flows"),
+        F.sum("n").alias("pings"),
+    )
+
+
+def sql_od_matrix() -> str:
+    lat_e = synth.LAT_EXPR.replace("o_orderkey", "event_id")
+    lon_e = synth.LON_EXPR.replace("o_orderkey", "event_id")
+    cell = C.latlng_to_cell_sql("lat", "lon", OD_RES)
+    return f"""
+with pings as materialized (
+  select event_id, user_id, cast(epoch(ts) as bigint) as tsl,
+         {cell} as cell
+  from (select event_id, user_id, ts, {lat_e} as lat, {lon_e} as lon
+        from events)
+),
+seg as (
+  select *, case when lag(tsl) over w is null
+                   or tsl - lag(tsl) over w > 1800
+                 then 1 else 0 end as new_trip
+  from pings window w as (partition by user_id order by tsl, event_id)
+),
+trips as (
+  select user_id, event_id, tsl, cell,
+         sum(new_trip) over (partition by user_id order by tsl, event_id
+             rows between unbounded preceding and current row) as trip_seq
+  from seg
+),
+pt as (
+  select user_id, trip_seq, cell,
+         row_number() over (partition by user_id, trip_seq
+                            order by tsl, event_id) as rn_a,
+         row_number() over (partition by user_id, trip_seq
+                            order by tsl desc, event_id desc) as rn_d
+  from trips
+),
+per_trip as (
+  select o.user_id, o.trip_seq, o.o_cell, d.d_cell, c.n
+  from (select user_id, trip_seq, cell as o_cell from pt where rn_a = 1) o
+  join (select user_id, trip_seq, cell as d_cell from pt where rn_d = 1) d
+    on o.user_id = d.user_id and o.trip_seq = d.trip_seq
+  join (select user_id, trip_seq, cast(count(*) as bigint) as n
+        from pt group by 1, 2) c
+    on o.user_id = c.user_id and o.trip_seq = c.trip_seq
+)
+select o_cell, d_cell, cast(count(*) as bigint) as flows,
+       cast(sum(n) as bigint) as pings
+from per_trip group by 1, 2
 """
 
 
@@ -5001,13 +5107,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
+    "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
     "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 69  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 71  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -5043,6 +5149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "od_matrix": q_od_matrix,
+        "moran_local": q_moran_local,
         "emerging_hotspots": q_emerging_hotspots,
         "cluster_hull": q_cluster_hull,
         "traj_hausdorff": q_traj_hausdorff,
@@ -5156,6 +5264,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "od_matrix": sql_od_matrix(),
+        "moran_local": sql_moran_local(),
         "emerging_hotspots": sql_emerging_hotspots(),
         "cluster_hull": sql_cluster_hull(),
         "traj_hausdorff": sql_traj_hausdorff(),

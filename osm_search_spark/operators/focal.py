@@ -104,14 +104,29 @@ def gi_star(
     f = focal_stats(raster, res, k, cell=cell, value=value).select(
         "cell_id", "value", "focal_n", "focal_sum"
     )
+    return _with_global_moments(f, raster, value).select(
+        "cell_id", "value", "focal_n", "focal_sum",
+        F.expr(GI_EXPR).alias("gi_z"),
+    )
+
+
+def _with_global_moments(f: DataFrame, raster: DataFrame, value: str):
+    """Attach the 1-row (gn, gsum, gsumsq) dim via a constant-key
+    broadcast HASH join — non-foldable keys (col*0+1, the round-3/8
+    rule), never a BroadcastNestedLoopJoin: BNLJ is excluded from
+    whole-stage codegen and would interpret the z-score projection."""
     g = raster.agg(
         F.count(F.lit(1)).alias("gn"),
         F.sum(F.col(value)).alias("gsum"),
         F.sum(F.col(value) * F.col(value)).alias("gsumsq"),
     )
-    return f.crossJoin(F.broadcast(g)).select(
-        "cell_id", "value", "focal_n", "focal_sum",
-        F.expr(GI_EXPR).alias("gi_z"),
+    # NOT col*0+1 here: both keys are built from NON-NULLABLE aggregate
+    # outputs, and Catalyst simplifies non-nullable x*0 to 0, folds the
+    # key, and degrades to BNLJ anyway (the round-3/8 recipe only
+    # survives on nullable columns). pmod(x, 1) + 1 is never simplified.
+    key = lambda c: F.pmod(F.col(c), F.lit(1)) + F.lit(1)
+    return f.withColumn("_k", key("focal_n")).join(
+        F.broadcast(g.withColumn("_k", key("gn"))), "_k"
     )
 
 
@@ -166,4 +181,84 @@ select s.cell_id, s.value, a.focal_n, a.focal_sum, a.focal_min,
        a.focal_sum / a.focal_n as focal_mean,
        a.focal_max - a.focal_min as focal_range
 from src s join agg a on a.acell = s.cell_id
+"""
+
+
+# Local Moran's I (Anselin LISA) — the spatial-autocorrelation sibling
+# of Gi*: binary weights over the k-ring EXCLUDING self (Gi* includes
+# it), row-standardized lag. All inputs reduce to exact integer moments
+# (neighbor sum = focal_sum - value, neighbor count = focal_n - 1,
+# global moments), so every double below is deterministic from ONE
+# shared expression text: mean = gsum/gn, m2 = E[x^2] - mean^2,
+#   z   = value - mean
+#   lag = (nbr_sum - nbr_n * mean) / nbr_n
+#   I   = (z / m2) * lag
+# NULL I (-> quadrant 'na') when m2 = 0 (flat raster) or nbr_n = 0
+# (isolated cell); exact-zero z or lag -> 'zero'.
+_M_MEAN = "(gsum / gn)"
+M_Z_EXPR = f"(value - {_M_MEAN})"
+M_M2_EXPR = f"((gsumsq / gn) - {_M_MEAN} * {_M_MEAN})"
+M_LAG_EXPR = (
+    f"(((focal_sum - value) - (focal_n - 1) * {_M_MEAN})"
+    " / nullif(cast(focal_n - 1 as double), 0.0))"
+)
+M_I_EXPR = f"(({M_Z_EXPR} / nullif({M_M2_EXPR}, 0.0)) * {M_LAG_EXPR})"
+QUAD_EXPR = (
+    "(case when moran_i is null then 'na'"
+    " when z > 0 and lag > 0 then 'HH'"
+    " when z < 0 and lag < 0 then 'LL'"
+    " when z > 0 and lag < 0 then 'HL'"
+    " when z < 0 and lag > 0 then 'LH'"
+    " else 'zero' end)"
+)
+
+
+def moran_local(
+    raster: DataFrame,
+    res: int,
+    k: int = 1,
+    cell: str = "cell_id",
+    value: str = "value",
+) -> DataFrame:
+    """(cell_id, value, nbr_n, z, lag, moran_i, quadrant) — local
+    Moran's I per occupied cell with HH/LL/HL/LH quadrant labels
+    (ArcGIS "Cluster and Outlier Analysis"). Same broadcast-moments
+    shape as gi_star; no extra scan."""
+    f = focal_stats(raster, res, k, cell=cell, value=value).select(
+        "cell_id", "value", "focal_n", "focal_sum"
+    )
+    return (
+        _with_global_moments(f, raster, value)
+        .select(
+            "cell_id", "value",
+            (F.col("focal_n") - 1).alias("nbr_n"),
+            F.expr(M_Z_EXPR).alias("z"),
+            F.expr(M_LAG_EXPR).alias("lag"),
+            F.expr(M_I_EXPR).alias("moran_i"),
+        )
+        .withColumn("quadrant", F.expr(QUAD_EXPR))
+    )
+
+
+def moran_sql(raster_rel: str, res: int, k: int = 1) -> str:
+    """DuckDB twin of moran_local: focal twin + HUGEINT-cast global
+    moments + the IDENTICAL expression texts."""
+    return f"""
+with focal as ({focal_sql(raster_rel, res, k)}),
+gmom as (
+  select cast(count(*) as bigint) as gn,
+         cast(sum(value) as bigint) as gsum,
+         cast(sum(value * value) as bigint) as gsumsq
+  from {raster_rel}
+),
+m as (
+  select cell_id, value,
+         cast(focal_n - 1 as bigint) as nbr_n,
+         {M_Z_EXPR} as z,
+         {M_LAG_EXPR} as lag,
+         {M_I_EXPR} as moran_i
+  from focal, gmom
+)
+select cell_id, value, nbr_n, z, lag, moran_i, {QUAD_EXPR} as quadrant
+from m
 """

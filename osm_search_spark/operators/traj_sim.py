@@ -135,8 +135,13 @@ def hausdorff_join(
         )
         .distinct()
     )
+    # SHUFFLE_HASH, building on the UNPADDED side: both cell sets are
+    # data-sized (the padded side ~9x so), but Catalyst's size estimate
+    # cannot see the explode fan-out (a synthesized input estimated
+    # "small" got BROADCAST at 1M trips -> driver OOM). Never broadcast
+    # either side of the candidate join.
     cand = (
-        cells_a.join(cells_b, "cell")
+        cells_a.hint("shuffle_hash").join(cells_b, "cell")
         .filter(F.col("trip_id") < F.col("trip_b"))
         .select(F.col("trip_id").alias("trip_a"), "trip_b")
         .distinct()
@@ -159,9 +164,14 @@ def hausdorff_join(
         F.col("trip_id").alias("trip_b"),
         *[F.col(c).alias(f"b_{c}") for c in ("minlat", "maxlat", "minlon", "maxlon")],
     )
+    # SHUFFLE_HASH on every per-trip dim: the trips table is data-sized
+    # (arrays!), so letting AQE broadcast it OOMs the driver at scale —
+    # measured at 1M trips x 32 vertices (512 MB "small" side). The
+    # pair frame is the big, already-shuffled side; hash-joining the
+    # trip dims shuffles each ONCE on trip_id.
     pruned = (
-        cand.join(ea, "trip_a")
-        .join(eb, "trip_b")
+        cand.join(ea.hint("shuffle_hash"), "trip_a")
+        .join(eb.hint("shuffle_hash"), "trip_b")
         .filter(
             (F.col("a_minlat") >= F.col("b_minlat") - pad_lat)
             & (F.col("a_maxlat") <= F.col("b_maxlat") + pad_lat)
@@ -185,7 +195,9 @@ def hausdorff_join(
         F.col("lats").alias("blats"),
         F.col("lons").alias("blons"),
     )
-    paired = pruned.join(ta, "trip_a").join(tb, "trip_b").select(
+    paired = pruned.join(
+        ta.hint("shuffle_hash"), "trip_a"
+    ).join(tb.hint("shuffle_hash"), "trip_b").select(
         "trip_a", "trip_b", "alats", "alons", "blats", "blons"
     )
     refined = paired.mapInPandas(

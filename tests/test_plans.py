@@ -233,3 +233,39 @@ def test_pq_topk_constant_key_is_bhj(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_traj_attach_joins_are_shuffle_hash(spark):
+    """hausdorff_join must NEVER broadcast the trips table (arrays,
+    data-sized — a 1M x 32-vertex run OOM'd the driver when AQE picked
+    broadcast): the extent and array-attach dims are pinned to
+    SHUFFLE_HASH."""
+    from osm_search_spark.operators.traj_sim import hausdorff_join
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.001], [110.0, 110.001])
+         for i in range(8)],
+        "trip_id long, lats array<double>, lons array<double>",
+    )
+    plan = plan_str(hausdorff_join(df, 0.01))
+    assert "ShuffledHashJoin" in plan, plan
+    # every side of every join (candidate cells, extents, array attach)
+    # is data-sized: NO broadcast may appear anywhere in the plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_moran_moments_join_is_broadcast(spark):
+    """The 1-row global-moments dim must ride a broadcast, never a
+    shuffle."""
+    from osm_search_spark.operators.focal import gi_star, moran_local
+
+    df = spark.createDataFrame(
+        [(10 * 2**58 + ix * 2**29 + 100, 1 + ix % 3) for ix in range(100, 130)],
+        "cell_id long, value long",
+    )
+    for op in (gi_star, moran_local):
+        plan = plan_str(op(df, 10, 1))
+        assert "BroadcastHashJoin" in plan, plan
+        # non-foldable constant key (round-3/8 rule): BNLJ would drop
+        # the z-score projection out of whole-stage codegen
+        assert "BroadcastNestedLoopJoin" not in plan, plan
