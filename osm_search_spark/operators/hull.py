@@ -64,15 +64,42 @@ def hull_py(points) -> list:
     return lower[:-1] + upper[:-1]
 
 
+def _akl_prune(x, y):
+    """Akl-Toussaint throw-away: drop points STRICTLY inside the
+    quadrilateral of the 4 axis-extreme points (vectorized numpy; the
+    python chain then runs on the ~O(sqrt n) survivors). Safe: a
+    strictly interior point of the quad is strictly interior to the
+    hull. Degenerate quads (duplicate extremes) prune nothing. Exact
+    for exactly-representable cross products — the same bounded-
+    mantissa caveat the module contract already carries."""
+    import numpy as np
+
+    quad_i = [int(np.argmin(x)), int(np.argmin(y)),
+              int(np.argmax(x)), int(np.argmax(y))]
+    qx = np.array([x[i] for i in quad_i])
+    qy = np.array([y[i] for i in quad_i])
+    inside = np.ones(len(x), dtype=bool)
+    for i in range(4):
+        ax, ay = qx[i], qy[i]
+        bx, by = qx[(i + 1) % 4], qy[(i + 1) % 4]
+        inside &= (bx - ax) * (y - ay) - (by - ay) * (x - ax) > 0
+    return ~inside
+
+
 def _local_kernel(group: str, lat: str, lon: str):
     def gen(batches):
         for pdf in batches:
             gs, las, los = [], [], []
             for g, sub in pdf.groupby(group, sort=False):
-                for x, y in hull_py(zip(sub[lon], sub[lat])):
+                x = sub[lon].to_numpy()
+                y = sub[lat].to_numpy()
+                if len(x) > 16:
+                    keep = _akl_prune(x, y)
+                    x, y = x[keep], y[keep]
+                for px, py in hull_py(zip(x, y)):
                     gs.append(g)
-                    las.append(y)
-                    los.append(x)
+                    las.append(py)
+                    los.append(px)
             yield pd.DataFrame({group: gs, lat: las, lon: los})
 
     return gen
