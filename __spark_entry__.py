@@ -1869,7 +1869,7 @@ from ordered
 TRAJ_D_MAX = 0.005
 
 
-def _traj_fixture() -> list[tuple[int, list, list]]:
+def _traj_fixture(subsample: bool = True) -> list[tuple[int, list, list]]:
     shapes = [
         # (dlat, dlon) step patterns, 11 steps -> 12 vertices
         [(0.0, 0.125)] * 6 + [(0.125, 0.0)] * 5,                 # L
@@ -1889,11 +1889,41 @@ def _traj_fixture() -> list[tuple[int, list, list]]:
                 # per-trip kink on the 5th vertex: breaks translation
                 lats.append(la + (m * 0.00048828125 if i == 4 else 0.0))
                 lons.append(lo)
-            if m == 7:  # subsampled variant: every other vertex
+            if subsample and m == 7:  # subsampled variant: every other vertex
                 lats, lons = lats[::2], lons[::2]
             trips.append((tid, lats, lons))
             tid += 1
     return trips
+
+
+# Q27u: discrete Frechet similarity join — the coupling metric of the
+# same family (frechet_join). Fixture: the Hausdorff shape classes
+# WITHOUT the subsampled variant (the unrolled twin needs fixed-length
+# trips; the guard CTE errors on violation). Twin: the full n x n DP
+# unrolled as chained CTEs with lateral column aliases (the hmm_match
+# unrolled-Viterbi pattern), IDENTICAL d2 text, min/max selections only
+# -> fd2 bit-exact, NO rounding, and NO pruning (superset argument).
+def q_traj_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.traj_sim import frechet_join
+
+    df = spark.createDataFrame(
+        _traj_fixture(subsample=False),
+        "trip_id long, lats array<double>, lons array<double>",
+    )
+    return frechet_join(df, TRAJ_D_MAX)
+
+
+def sql_traj_frechet() -> str:
+    from osm_search_spark.operators.traj_sim import frechet_sql
+
+    rows = ", ".join(
+        f"(cast({tid} as bigint), "
+        f"[{', '.join(synth.dlit(x) for x in la)}], "
+        f"[{', '.join(synth.dlit(x) for x in lo)}])"
+        for tid, la, lo in _traj_fixture(subsample=False)
+    )
+    rel = f"(select * from (values {rows}) t(trip_id, lats, lons))"
+    return frechet_sql(rel, TRAJ_D_MAX, n=12)
 
 
 def q_traj_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5107,13 +5137,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
+    "traj_frechet", "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
     "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 71  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 72  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -5149,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "traj_frechet": q_traj_frechet,
         "od_matrix": q_od_matrix,
         "moran_local": q_moran_local,
         "emerging_hotspots": q_emerging_hotspots,
@@ -5264,6 +5295,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "traj_frechet": sql_traj_frechet(),
         "od_matrix": sql_od_matrix(),
         "moran_local": sql_moran_local(),
         "emerging_hotspots": sql_emerging_hotspots(),

@@ -248,3 +248,226 @@ select a.ta as trip_a, a.tb as trip_b, greatest(a.h2, b.h2) as hd2
 from h_ab a join h_ba b on a.ta = b.ta and a.tb = b.tb
 where greatest(a.h2, b.h2) <= {dlit(d_max * d_max)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Discrete Frechet distance — the coupling metric of the same family
+# ---------------------------------------------------------------------------
+
+def _frechet_kernel(s2: float):
+    """mapInPandas kernel computing the squared discrete Frechet
+    distance per candidate pair. d2 entries come from the vectorized
+    numpy matrix with dist2_points_expr's pinned operation order; the
+    DP combines them with min/max SELECTIONS only, so the result is
+    bit-exact against ANY re-derivation of the same recurrence
+    (selection networks are associativity-free). The j-chain forces a
+    python inner loop — O(n*m) per pair — which is why the candidate +
+    endpoint pruning in frechet_join matters (see bench note)."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_d = [], [], []
+            for ta, tb, al, ao, bl, bo in zip(
+                pdf["trip_a"], pdf["trip_b"],
+                pdf["alats"], pdf["alons"], pdf["blats"], pdf["blons"],
+            ):
+                al = np.asarray(al, dtype=np.float64)
+                ao = np.asarray(ao, dtype=np.float64)
+                bl = np.asarray(bl, dtype=np.float64)
+                bo = np.asarray(bo, dtype=np.float64)
+                if al.size == 0 or bl.size == 0:
+                    continue
+                dy = al[:, None] - bl[None, :]
+                dx = ao[:, None] - bo[None, :]
+                d2 = dy * dy + (dx * dx) * np.float64(s2)
+                dp = np.maximum.accumulate(d2[0])
+                for i in range(1, len(al)):
+                    new = np.empty_like(dp)
+                    new[0] = max(dp[0], d2[i, 0])
+                    row = d2[i]
+                    for j in range(1, len(bl)):
+                        new[j] = max(
+                            row[j], min(dp[j], dp[j - 1], new[j - 1])
+                        )
+                    dp = new
+                out_a.append(int(ta))
+                out_b.append(int(tb))
+                out_d.append(float(dp[-1]))
+            yield pd.DataFrame(
+                {
+                    "trip_a": pd.Series(out_a, dtype="int64"),
+                    "trip_b": pd.Series(out_b, dtype="int64"),
+                    "fd2": pd.Series(out_d, dtype="float64"),
+                }
+            )
+
+    return kern
+
+
+def frechet_join(
+    trips: DataFrame,
+    d_max: float,
+    res: int | None = None,
+    lon_scale: float = LON_SCALE,
+    id_col: str = "trip_id",
+    lats: str = "lats",
+    lons: str = "lons",
+) -> DataFrame:
+    """(trip_a, trip_b, fd2): unordered pairs with squared discrete
+    Frechet distance fd2 <= d_max^2 (exact). Frechet >= Hausdorff, so
+    every Hausdorff candidate/prune condition stays necessary; on top,
+    the coupling pins first<->first and last<->last, giving a cheap
+    endpoint prune (element_at Column arithmetic) before the O(n*m) DP
+    kernel. Same join hygiene as hausdorff_join: everything
+    shuffle-hash, nothing broadcast."""
+    if res is None:
+        res = pick_res(d_max, lon_scale)
+    d2lim = F.lit(d_max * d_max)
+    t = trips.select(
+        F.col(id_col).cast("long").alias("trip_id"),
+        F.col(lats).alias("lats"),
+        F.col(lons).alias("lons"),
+    ).filter(F.size("lats") > 0)
+    pt = t.select(
+        "trip_id", F.explode(F.arrays_zip("lats", "lons")).alias("p")
+    ).select(
+        "trip_id",
+        C.latlng_to_cell(F.col("p.lats"), F.col("p.lons"), res).alias("cell"),
+    )
+    cells_a = pt.distinct()
+    cells_b = (
+        pt.distinct()
+        .select(
+            F.col("trip_id").alias("trip_b"),
+            F.explode(C.k_ring("cell", 1, res)).alias("cell"),
+        )
+        .distinct()
+    )
+    cand = (
+        cells_a.hint("shuffle_hash").join(cells_b, "cell")
+        .filter(F.col("trip_id") < F.col("trip_b"))
+        .select(F.col("trip_id").alias("trip_a"), "trip_b")
+        .distinct()
+    )
+    s2 = lon_scale * lon_scale
+    ends = t.select(
+        "trip_id",
+        F.element_at("lats", 1).alias("f_lat"),
+        F.element_at("lons", 1).alias("f_lon"),
+        F.element_at("lats", -1).alias("l_lat"),
+        F.element_at("lons", -1).alias("l_lon"),
+    )
+
+    def _d2(a_lat, a_lon, b_lat, b_lon):
+        dy = F.col(a_lat) - F.col(b_lat)
+        dx = F.col(a_lon) - F.col(b_lon)
+        return dy * dy + (dx * dx) * F.lit(s2)
+
+    ea = ends.select(
+        F.col("trip_id").alias("trip_a"),
+        *[F.col(c).alias(f"a_{c}") for c in ("f_lat", "f_lon", "l_lat", "l_lon")],
+    )
+    eb = ends.select(
+        F.col("trip_id").alias("trip_b"),
+        *[F.col(c).alias(f"b_{c}") for c in ("f_lat", "f_lon", "l_lat", "l_lon")],
+    )
+    pruned = (
+        cand.join(ea.hint("shuffle_hash"), "trip_a")
+        .join(eb.hint("shuffle_hash"), "trip_b")
+        .filter(
+            (_d2("a_f_lat", "a_f_lon", "b_f_lat", "b_f_lon") <= d2lim)
+            & (_d2("a_l_lat", "a_l_lon", "b_l_lat", "b_l_lon") <= d2lim)
+        )
+        .select("trip_a", "trip_b")
+    )
+    ta = t.select(
+        F.col("trip_id").alias("trip_a"),
+        F.col("lats").alias("alats"),
+        F.col("lons").alias("alons"),
+    )
+    tb = t.select(
+        F.col("trip_id").alias("trip_b"),
+        F.col("lats").alias("blats"),
+        F.col("lons").alias("blons"),
+    )
+    paired = pruned.join(
+        ta.hint("shuffle_hash"), "trip_a"
+    ).join(tb.hint("shuffle_hash"), "trip_b").select(
+        "trip_a", "trip_b", "alats", "alons", "blats", "blons"
+    )
+    refined = paired.mapInPandas(
+        _frechet_kernel(s2), "trip_a long, trip_b long, fd2 double"
+    )
+    return refined.filter(F.col("fd2") <= d2lim)
+
+
+def frechet_sql(
+    trips_rel: str,
+    d_max: float,
+    n: int,
+    lon_scale: float = LON_SCALE,
+) -> str:
+    """DuckDB twin of frechet_join over a relation of FIXED-length
+    trips (len(lats) == n for every row — asserted by a guard CTE that
+    errors the whole query on violation): the n x n DP fully unrolled
+    as chained CTEs, one per row, with lateral column aliases carrying
+    the intra-row j-chain (hmm_match's unrolled-Viterbi pattern). Each
+    d2 cell uses the IDENTICAL dist2_points_expr text over list
+    extracts; the DP is min/max selections, so fd2 is bit-exact."""
+    d2t = dist2_points_expr(lon_scale)
+
+    def d2cell(i, j):
+        return (
+            d2t.replace("alat", f"la[{i + 1}]")
+            .replace("alon", f"lo[{i + 1}]")
+            .replace("blat", f"lb[{j + 1}]")
+            .replace("blon", f"lq[{j + 1}]")
+        )
+
+    ctes = [
+        f"""t as materialized (
+  select trip_id, lats, lons,
+         case when len(lats) = {n} then 1
+              else error('frechet_sql: trip length <> {n}') end as _g
+  from {trips_rel} where len(lats) > 0
+)""",
+        """pairs as materialized (
+  select a.trip_id as ta, b.trip_id as tb,
+         a.lats as la, a.lons as lo, b.lats as lb, b.lons as lq
+  from t a, t b where a.trip_id < b.trip_id
+)""",
+    ]
+    # ONE CTE per DP cell, each a plain projection over the previous —
+    # NEVER lateral column aliases: DuckDB expands those by
+    # substitution, so an intra-select j-chain re-inlines its whole
+    # prefix per reference (exponential; the first cut of this twin
+    # planned for minutes on 496 pairs). Plain cross-CTE column
+    # references inline linearly.
+    prev = "pairs"
+    for i in range(n):
+        for j in range(n):
+            if i == 0 and j == 0:
+                expr = d2cell(0, 0)
+            elif i == 0:
+                expr = f"greatest(c0_{j - 1}, {d2cell(0, j)})"
+            elif j == 0:
+                expr = f"greatest(c{i - 1}_0, {d2cell(i, 0)})"
+            else:
+                expr = (
+                    f"greatest({d2cell(i, j)}, least(c{i - 1}_{j}, "
+                    f"c{i - 1}_{j - 1}, c{i}_{j - 1}))"
+                )
+            cur = f"s{i}_{j}"
+            ctes.append(
+                f"{cur} as materialized "
+                f"(select *, {expr} as c{i}_{j} from {prev})"
+            )
+            prev = cur
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect ta as trip_a, tb as trip_b, c{n - 1}_{n - 1} as fd2"
+        + f"\nfrom {prev} where c{n - 1}_{n - 1} <= {dlit(d_max * d_max)}"
+    )

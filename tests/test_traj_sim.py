@@ -122,3 +122,94 @@ def test_disjoint_regions_no_candidates(spark):
         "trip_id long, lats array<double>, lons array<double>",
     )
     assert hausdorff_join(df, 0.01).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Discrete Frechet
+# ---------------------------------------------------------------------------
+
+def brute_fd2(a, b):
+    """Independent recursive-memo discrete Frechet (different shape
+    than the kernel's iterative rows): exact selections over the same
+    d2 values, so equality must be BIT-exact."""
+    import functools
+
+    ala, alo = a
+    bla, blo = b
+
+    def d2(i, j):
+        dy, dx = ala[i] - bla[j], alo[i] - blo[j]
+        return dy * dy + (dx * dx) * S
+
+    @functools.lru_cache(maxsize=None)
+    def rec(i, j):
+        if i == 0 and j == 0:
+            return d2(0, 0)
+        if i == 0:
+            return max(rec(0, j - 1), d2(0, j))
+        if j == 0:
+            return max(rec(i - 1, 0), d2(i, 0))
+        return max(d2(i, j), min(rec(i - 1, j), rec(i - 1, j - 1),
+                                 rec(i, j - 1)))
+
+    return rec(len(ala) - 1, len(bla) - 1)
+
+
+def test_frechet_brute_force_parity(spark, trips):
+    from osm_search_spark.operators.traj_sim import frechet_join
+
+    df = spark.createDataFrame(
+        trips, "trip_id long, lats array<double>, lons array<double>"
+    )
+    got = {
+        (r.trip_a, r.trip_b): r.fd2
+        for r in frechet_join(df, 1.0).collect()
+    }
+    for i in range(len(trips)):
+        for j in range(i + 1, len(trips)):
+            a, b = trips[i], trips[j]
+            exp = brute_fd2((a[1], a[2]), (b[1], b[2]))
+            assert got[(a[0], b[0])] == exp, (a[0], b[0])
+
+
+def test_frechet_geq_hausdorff_and_threshold(spark, trips):
+    from osm_search_spark.operators.traj_sim import (
+        frechet_join,
+        hausdorff_join,
+    )
+
+    df = spark.createDataFrame(
+        trips, "trip_id long, lats array<double>, lons array<double>"
+    )
+    h = {(r.trip_a, r.trip_b): r.hd2 for r in hausdorff_join(df, 1.0).collect()}
+    f = {(r.trip_a, r.trip_b): r.fd2 for r in frechet_join(df, 1.0).collect()}
+    assert set(f) == set(h)
+    for k in f:
+        assert f[k] >= h[k], k
+    # thresholded results are a subset of the Hausdorff ones
+    fd = {(r.trip_a, r.trip_b) for r in frechet_join(df, 0.02).collect()}
+    hd = {(r.trip_a, r.trip_b) for r in hausdorff_join(df, 0.02).collect()}
+    assert fd <= hd
+
+
+def test_frechet_out_and_back_vs_hausdorff(spark):
+    # the classic separator: a straight line vs an out-and-back along
+    # the same path have ~zero Hausdorff but large Frechet
+    line = mk(0, [(-7.0, 110.0 + i * 0.001) for i in range(9)])
+    back = mk(
+        1,
+        [(-7.0, 110.0 + x * 0.001)
+         for x in list(range(9)) + list(range(7, -1, -1))],
+    )
+    df = spark.createDataFrame(
+        [line, back], "trip_id long, lats array<double>, lons array<double>"
+    )
+    from osm_search_spark.operators.traj_sim import (
+        frechet_join,
+        hausdorff_join,
+    )
+
+    hd2 = hausdorff_join(df, 1.0).collect()[0].hd2
+    fd2 = frechet_join(df, 1.0).collect()[0].fd2
+    assert hd2 == 0.0
+    assert fd2 >= (0.006 ** 2) * S  # must walk back while line advances
