@@ -1456,6 +1456,78 @@ from (values
 """
 
 
+# Q26q: mosaic pyramid — parent-tile contact sheets derived level by
+# level from the res-11 mosaics (quadrant compose + bit-exact integer
+# halving), res 10 and 9. Twin: the whole pyramid re-derived
+# DRIVER-SIDE through the SAME pure kernels (mosaic_py +
+# pyramid_merge_py) over the closed-form image fixture, embedded as
+# VALUES — byte-exact gate via px sums + crc32 per level.
+_MPYR_MIN_RES = 9
+
+
+def q_mosaic_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.mosaic import mosaic_pyramid, tile_mosaic
+    from osm_search_spark.sources import images as img_src
+
+    base = tile_mosaic(
+        img_src.images_table(spark, _MOSAIC_N),
+        res=_MOSAIC_RES, grid=_MOSAIC_GRID, thumb=_MOSAIC_THUMB,
+    )
+    return mosaic_pyramid(
+        base, _MOSAIC_RES, _MPYR_MIN_RES,
+        side=_MOSAIC_GRID * _MOSAIC_THUMB,
+    ).select("res", "tile_id", "n_children", "px_sum", "crc")
+
+
+def sql_mosaic_pyramid() -> str:
+    import numpy as np
+
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.operators.mosaic import mosaic_py, pyramid_merge_py
+    from osm_search_spark.sources import images as img_src
+
+    side = _MOSAIC_GRID * _MOSAIC_THUMB
+    tiles: dict[int, list] = {}
+    for i in range(_MOSAIC_N):
+        r = img_src.make_row(i)
+        t = int(
+            C.np_latlng_to_cell(
+                np.array([r["lat"]]), np.array([r["lon"]]), _MOSAIC_RES
+            )[0]
+        )
+        tiles.setdefault(t, []).append((r["image_id"], r["bytes"], r["fmt"]))
+    cur = {
+        t: mosaic_py(
+            sorted(items)[: _MOSAIC_GRID * _MOSAIC_GRID],
+            _MOSAIC_GRID, _MOSAIC_THUMB,
+        )[4]
+        for t, items in tiles.items()
+    }
+    rows = []
+    for res in range(_MOSAIC_RES - 1, _MPYR_MIN_RES - 1, -1):
+        parents: dict[int, list] = {}
+        for t, png in cur.items():
+            ix, iy = C.np_cell_ixy(t)
+            p = int(
+                res * C.RES_BITS_SHIFT + (ix >> 1) * C.IX_SHIFT + (iy >> 1)
+            )
+            q = (1 - (int(iy) % 2)) * 2 + int(ix) % 2
+            parents.setdefault(p, []).append((q, png))
+        cur = {}
+        for p in sorted(parents):
+            n, s, crc, png = pyramid_merge_py(sorted(parents[p]), side)
+            rows.append(f"({res}, {p}, {n}, {s}, {crc})")
+            cur[p] = png
+    return f"""
+select cast(res as int) as res, cast(tile_id as bigint) as tile_id,
+       cast(n_children as int) as n_children,
+       cast(px_sum as bigint) as px_sum, cast(crc as bigint) as crc
+from (values
+{",".join(rows)}
+) t(res, tile_id, n_children, px_sum, crc)
+"""
+
+
 # Q5l3: focal (neighborhood) statistics — raster map algebra over the
 # res-13 point-density raster: each valued cell's 3x3 ring aggregated by
 # one scatter-explode + groupBy (the IDW surface's shape). All-integer
@@ -5137,13 +5209,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "traj_frechet", "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
+    "mosaic_pyramid", "traj_frechet", "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
     "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 72  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 73  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -5179,6 +5251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "mosaic_pyramid": q_mosaic_pyramid,
         "traj_frechet": q_traj_frechet,
         "od_matrix": q_od_matrix,
         "moran_local": q_moran_local,
@@ -5295,6 +5368,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "mosaic_pyramid": sql_mosaic_pyramid(),
         "traj_frechet": sql_traj_frechet(),
         "od_matrix": sql_od_matrix(),
         "moran_local": sql_moran_local(),

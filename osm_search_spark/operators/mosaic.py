@@ -112,3 +112,97 @@ def tile_mosaic(
             yield pd.DataFrame(rows, columns=cols)
 
     return grouped.mapInPandas(run, schema=MOSAIC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Mosaic pyramid — parent-tile contact sheets from child canvases
+# ---------------------------------------------------------------------------
+
+PYRAMID_SCHEMA = (
+    "tile_id long, n_children int, px_sum long, crc long, mosaic binary"
+)
+
+
+def pyramid_merge_py(
+    children: list[tuple[int, bytes]], side: int
+) -> tuple[int, int, int, bytes]:
+    """Pure kernel shared by the operator and the oracle: children =
+    [(quadrant 0..3, png_bytes)] (quadrant = (1 - iy%2)*2 + ix%2 — the
+    NORTHERN child row on top). Composes the 2x2 arrangement (missing
+    quadrants stay black) and halves it with the bit-exact integer
+    block mean (functions/images.resize_exact — integral 2x downscale,
+    round-half-up). Returns (n_children, px_sum, crc32, png)."""
+    canvas = np.zeros((2 * side, 2 * side, 3), dtype=np.uint8)
+    for q, png in children:
+        t = I.png_decode(bytes(png))
+        r, c = (q // 2) * side, (q % 2) * side
+        canvas[r : r + side, c : c + side] = t
+    out = I.resize_exact(canvas, side, side)
+    return (
+        len(children),
+        int(out.astype(np.int64).sum()),
+        int(zlib.crc32(out.tobytes())),
+        I.png_encode(out),
+    )
+
+
+def mosaic_pyramid(
+    mosaics: DataFrame,
+    max_res: int,
+    min_res: int,
+    side: int,
+) -> DataFrame:
+    """(res, tile_id, n_children, px_sum, crc, mosaic) for every level
+    min_res..max_res-1, derived level by level from the res=max_res
+    canvases in `mosaics` (tile_id, mosaic) — the image analog of
+    compaction.tile_pyramid: each level is ONE bounded groupBy (<= 4
+    children per parent) + a map-only compose/halve kernel, the source
+    canvases are scanned once, and each level is localCheckpoint'd
+    because it feeds both the output union and the next level
+    (CLAUDE.md round-4; plain localCheckpoint so the ContextCleaner can
+    reap it when the result goes out of scope). The downscale is the
+    bit-exact integer block mean, so every level is byte-deterministic
+    from the base canvases alone."""
+    if min_res >= max_res:
+        raise ValueError("min_res must be < max_res")
+    cur = mosaics.select("tile_id", "mosaic")
+    levels = []
+    for r in range(max_res - 1, min_res - 1, -1):
+        ix, iy = C.cell_ix("tile_id"), C.cell_iy("tile_id")
+        q = (
+            (F.lit(1) - F.pmod(iy, F.lit(2))) * 2 + F.pmod(ix, F.lit(2))
+        ).cast("int")
+        grouped = (
+            cur.select(
+                C.cell_to_parent("tile_id", r).alias("tile_id"),
+                F.struct(q.alias("q"), F.col("mosaic").alias("png")).alias(
+                    "ch"
+                ),
+            )
+            .groupBy("tile_id")
+            .agg(F.sort_array(F.collect_list("ch")).alias("children"))
+        )
+
+        def run(batches, _side=side):
+            cols = ["tile_id", "n_children", "px_sum", "crc", "mosaic"]
+            for pdf in batches:
+                rows = [
+                    (int(t),)
+                    + pyramid_merge_py(
+                        [(int(c["q"]), c["png"]) for c in ch], _side
+                    )
+                    for t, ch in zip(pdf["tile_id"], pdf["children"])
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+        lvl = grouped.mapInPandas(run, schema=PYRAMID_SCHEMA).localCheckpoint(
+            eager=True
+        )
+        levels.append(lvl.withColumn("res", F.lit(r).cast("int")))
+        cur = lvl.select("tile_id", "mosaic")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "res", "tile_id", "n_children", "px_sum", "crc", "mosaic"
+    )

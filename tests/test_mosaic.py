@@ -76,3 +76,60 @@ def test_validation(spark):
     )
     with pytest.raises(ValueError):
         tile_mosaic(df, grid=0)
+
+
+def test_mosaic_pyramid_orientation_and_determinism(spark):
+    import numpy as np
+
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.functions import images as I
+    from osm_search_spark.operators.mosaic import mosaic_pyramid
+
+    res, side = 11, 16
+    def tid(ix, iy):
+        return 11 * C.RES_BITS_SHIFT + ix * C.IX_SHIFT + iy
+
+    def solid(v):
+        return I.png_encode(np.full((side, side, 3), v, dtype=np.uint8))
+
+    # four siblings of one parent: (ix%2, iy%2) -> value
+    rows = [
+        (tid(100, 200), solid(10)),   # west, south  -> bottom-left
+        (tid(101, 200), solid(20)),   # east, south  -> bottom-right
+        (tid(100, 201), solid(30)),   # west, north  -> top-left
+        (tid(101, 201), solid(40)),   # east, north  -> top-right
+    ]
+    df = spark.createDataFrame(rows, "tile_id long, mosaic binary")
+    out = mosaic_pyramid(df, res, res - 1, side).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.res == 10 and r.n_children == 4
+    px = I.png_decode(bytes(r.mosaic))
+    assert px.shape == (side, side, 3)
+    h = side // 2
+    # northern children on the TOP rows; block mean of a solid is itself
+    assert int(px[0, 0, 0]) == 30 and int(px[0, side - 1, 0]) == 40
+    assert int(px[side - 1, 0, 0]) == 10 and int(px[side - 1, side - 1, 0]) == 20
+    # determinism under repartition
+    out2 = mosaic_pyramid(df.repartition(5), res, res - 1, side).collect()[0]
+    assert out2.crc == r.crc and bytes(out2.mosaic) == bytes(r.mosaic)
+
+
+def test_mosaic_pyramid_missing_children_black(spark):
+    import numpy as np
+
+    from osm_search_spark.functions import cells as C
+    from osm_search_spark.functions import images as I
+    from osm_search_spark.operators.mosaic import mosaic_pyramid
+
+    side = 16
+    one = [(11 * C.RES_BITS_SHIFT + 100 * C.IX_SHIFT + 200,
+            I.png_encode(np.full((side, side, 3), 100, dtype=np.uint8)))]
+    df = spark.createDataFrame(one, "tile_id long, mosaic binary")
+    r = mosaic_pyramid(df, 11, 10, side).collect()[0]
+    assert r.n_children == 1
+    px = I.png_decode(bytes(r.mosaic))
+    h = side // 2
+    # the lone SW child fills the bottom-left quadrant; rest black
+    assert (px[h:, :h] == 100).all()
+    assert (px[:h, :] == 0).all() and (px[h:, h:] == 0).all()
