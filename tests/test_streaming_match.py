@@ -30,6 +30,17 @@ def test_streaming_match_equals_batch(spark, tmp_path):
     (src / "b1.json").write_text(_ping_json([r for r in pings if r[1] <= 2]))
     (src / "b2.json").write_text(_ping_json([r for r in pings if 3 <= r[1] <= 5]))
     (src / "b3.json").write_text(_ping_json([r for r in pings if r[1] >= 6]))
+    # FileStreamSource orders pre-existing files by MILLISECOND-truncated
+    # mtime with NO tiebreak — three files written in the same ms get a
+    # nondeterministic batch order (when b3's close markers land first,
+    # trips close on 2-ping fragments and the later pings are dropped).
+    # Pin distinct mtimes so the batches replay in written order.
+    import os
+    import time
+
+    now = time.time()
+    for k, name in enumerate(("b1.json", "b2.json", "b3.json")):
+        os.utime(src / name, (now + k, now + k))
 
     streets = synth.map_match_streets(spark)
     schema = "trip_id long, seq int, lat double, lon double, is_last boolean"

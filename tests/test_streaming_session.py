@@ -44,6 +44,15 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     all_rows = _rows(0, 24)
     (src / "b1.json").write_text(_json(all_rows[:12]))
     (src / "b2.json").write_text(_json(all_rows[12:]))
+    # pin distinct ms-level mtimes: FileStreamSource has no tiebreak for
+    # same-millisecond files, so pre-written batches can replay out of
+    # order (see test_streaming_match for the full story)
+    import os
+    import time
+
+    now = time.time()
+    os.utime(src / "b1.json", (now, now))
+    os.utime(src / "b2.json", (now + 1, now + 1))
     schema = "event_id long, user_id long, ts timestamp"
     stream = (
         spark.readStream.schema(schema)
