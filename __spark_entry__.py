@@ -1714,6 +1714,64 @@ def sql_gi_star() -> str:
     return gi_star_sql(rel, FOCAL_RES, FOCAL_K)
 
 
+# Q5l7: terrain analysis (slope/aspect/hillshade via Horn's method +
+# ESRI D8 flow direction) over a dense synthetic DEM — a 64x48 interior
+# grid at res 10 whose integer elevations come from ONE closed-form
+# expression text evaluated by both engines. d8 and the interior mask
+# are exact (selection/comparison over bit-identical doubles); the trig
+# surfaces go through the repo's 6dp libm bridge on both sides.
+_DEM_RES, _DEM_W, _DEM_H = 10, 64, 48
+_DEM_ELEV = (
+    "(cast((i * 37 + j * 59) % 97"
+    " + (((i * i) % 31) * ((j * j) % 29)) % 101"
+    " + 3 * ((i + 2 * j) % 13) as bigint))"
+)
+
+
+def _dem_cell_expr() -> str:
+    return (
+        f"({_DEM_RES} * {C.RES_BITS_SHIFT}"
+        f" + (900 + i) * {C.IX_SHIFT} + (500 + j))"
+    )
+
+
+def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.terrain import terrain
+
+    dem = spark.range(_DEM_W * _DEM_H).select(
+        F.expr(f"id % {_DEM_W}").alias("i"),
+        F.expr(f"id div {_DEM_W}").alias("j"),
+    ).select(
+        F.expr(_dem_cell_expr()).alias("cell_id"),
+        F.expr(_DEM_ELEV).alias("elev"),
+    )
+    t = terrain(dem, _DEM_RES)
+    return t.select(
+        "cell_id", "elev",
+        F.round("slope_rad", 6).alias("slope_rad"),
+        F.round("aspect_deg", 6).alias("aspect_deg"),
+        F.round("hillshade", 6).alias("hillshade"),
+        "d8",
+    )
+
+
+def sql_terrain() -> str:
+    from osm_search_spark.operators.terrain import terrain_sql
+
+    rel = (
+        f"(select {_dem_cell_expr()} as cell_id, {_DEM_ELEV} as elev "
+        f"from (select cast(range % {_DEM_W} as bigint) as i, "
+        f"cast(range // {_DEM_W} as bigint) as j "
+        f"from range({_DEM_W * _DEM_H})))"
+    )
+    inner = terrain_sql(rel, _DEM_RES)
+    return (
+        f"select cell_id, elev, round(slope_rad, 6) as slope_rad, "
+        f"round(aspect_deg, 6) as aspect_deg, "
+        f"round(hillshade, 6) as hillshade, d8 from ({inner})"
+    )
+
+
 # Q5l6: local Moran's I (Anselin LISA) over the same density raster as
 # gi_star — spatial autocorrelation with HH/LL/HL/LH quadrant labels.
 # The IDENTICAL expression texts on both engines over exact integer
@@ -5209,13 +5267,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "mosaic_pyramid", "traj_frechet", "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
+    "terrain_surfaces", "mosaic_pyramid", "traj_frechet", "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
     "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 73  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 74  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -5251,6 +5309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "terrain_surfaces": q_terrain,
         "mosaic_pyramid": q_mosaic_pyramid,
         "traj_frechet": q_traj_frechet,
         "od_matrix": q_od_matrix,
@@ -5368,6 +5427,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "terrain_surfaces": sql_terrain(),
         "mosaic_pyramid": sql_mosaic_pyramid(),
         "traj_frechet": sql_traj_frechet(),
         "od_matrix": sql_od_matrix(),
