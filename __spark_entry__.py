@@ -2026,6 +2026,49 @@ def _traj_fixture(subsample: bool = True) -> list[tuple[int, list, list]]:
     return trips
 
 
+# Q27v: probe -> corpus top-k trajectory search (hausdorff_topk) —
+# thresholded kNN over the Hausdorff metric: probes = one mid-offset
+# variant per shape class (offset 2.5 * 2^-9, BETWEEN corpus members so
+# ranks are nontrivial), corpus = the full Hausdorff fixture. Twin =
+# full per-pair min/max (no pruning) + the identical (hd2, corpus_id)
+# rank; hd2 bit-exact, rank integer — NO rounding.
+def _traj_probes() -> list[tuple[int, list, list]]:
+    out = []
+    for tid, la, lo in _traj_fixture(subsample=False):
+        if tid % 8 == 0:  # first trip of each class
+            off = 2.5 * 0.001953125
+            out.append(
+                (1000 + tid, [x + off for x in la], [x + off for x in lo])
+            )
+    return out
+
+
+def q_traj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_search_spark.operators.traj_sim import hausdorff_topk
+
+    schema = "trip_id long, lats array<double>, lons array<double>"
+    probes = spark.createDataFrame(_traj_probes(), schema)
+    corpus = spark.createDataFrame(_traj_fixture(), schema)
+    return hausdorff_topk(probes, corpus, TRAJ_D_MAX * 2, k=3)
+
+
+def sql_traj_topk() -> str:
+    from osm_search_spark.operators.traj_sim import hausdorff_topk_sql
+
+    def rel(rows):
+        vals = ", ".join(
+            f"(cast({tid} as bigint), "
+            f"[{', '.join(synth.dlit(x) for x in la)}], "
+            f"[{', '.join(synth.dlit(x) for x in lo)}])"
+            for tid, la, lo in rows
+        )
+        return f"(select * from (values {vals}) t(trip_id, lats, lons))"
+
+    return hausdorff_topk_sql(
+        rel(_traj_probes()), rel(_traj_fixture()), TRAJ_D_MAX * 2, k=3
+    )
+
+
 # Q27u: discrete Frechet similarity join — the coupling metric of the
 # same family (frechet_join). Fixture: the Hausdorff shape classes
 # WITHOUT the subsampled variant (the unrolled twin needs fixed-length
@@ -5267,13 +5310,13 @@ def _round_number() -> int:
 
 # Queries added in the CURRENT round: always first, ahead of the rotation.
 _NEW_THIS_ROUND = [
-    "terrain_surfaces", "mosaic_pyramid", "traj_frechet", "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
+    "traj_topk", "terrain_surfaces", "mosaic_pyramid", "traj_frechet", "od_matrix", "moran_local", "emerging_hotspots", "cluster_hull", "traj_hausdorff", "line_merge", "gi_star", "tile_mosaics",
     "focal_stats", "dbscan_clusters",
     "image_resize", "caption_consistency", "hmm_match", "curate_text",
 ]
 # Everything past this index in the base order is the stable capped-out
 # tail; 5 of them rotate into the head each round.
-_TAIL_POOL_START = 74  # +1 per round-8 head insertion, keeps the pool stable
+_TAIL_POOL_START = 75  # +1 per round-8 head insertion, keeps the pool stable
 
 
 def _rotated(base: dict) -> dict:
@@ -5309,6 +5352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ones with the longest green history — never entries added this
     # round.
     return _rotated({
+        "traj_topk": q_traj_topk,
         "terrain_surfaces": q_terrain,
         "mosaic_pyramid": q_mosaic_pyramid,
         "traj_frechet": q_traj_frechet,
@@ -5427,6 +5471,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins over the driver's pre-registered views (orders,
     documents, embeddings, events, ...)."""
     return _rotated({
+        "traj_topk": sql_traj_topk(),
         "terrain_surfaces": sql_terrain(),
         "mosaic_pyramid": sql_mosaic_pyramid(),
         "traj_frechet": sql_traj_frechet(),

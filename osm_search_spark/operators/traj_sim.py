@@ -471,3 +471,174 @@ def frechet_sql(
         + f"\nselect ta as trip_a, tb as trip_b, c{n - 1}_{n - 1} as fd2"
         + f"\nfrom {prev} where c{n - 1}_{n - 1} <= {dlit(d_max * d_max)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Probe -> corpus top-k similarity search
+# ---------------------------------------------------------------------------
+
+def hausdorff_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    d_max: float,
+    k: int = 5,
+    res: int | None = None,
+    lon_scale: float = LON_SCALE,
+    id_col: str = "trip_id",
+    lats: str = "lats",
+    lons: str = "lons",
+) -> DataFrame:
+    """(probe_id, corpus_id, hd2, rank): for each probe trip, the k
+    most similar corpus trips by symmetric Hausdorff among those within
+    ``d_max`` (the thresholded-kNN contract — a probe with fewer than k
+    in-range neighbors returns fewer rows; raise d_max to see farther).
+    Ties break on corpus_id. Same machinery and join hygiene as
+    hausdorff_join (asymmetric: probe cells raw x corpus cells padded —
+    pad symmetry makes the cover exact); the per-probe rank window is
+    bounded by that probe's candidate count, never a global sort."""
+    if res is None:
+        res = pick_res(d_max, lon_scale)
+
+    def prep(df, name):
+        return df.select(
+            F.col(id_col).cast("long").alias(name),
+            F.col(lats).alias("lats"),
+            F.col(lons).alias("lons"),
+        ).filter(F.size("lats") > 0)
+
+    p = prep(probes, "probe_id")
+    c = prep(corpus, "corpus_id")
+
+    def cells(df, name, pad):
+        pt = df.select(
+            name, F.explode(F.arrays_zip("lats", "lons")).alias("q")
+        ).select(
+            name,
+            C.latlng_to_cell(
+                F.col("q.lats"), F.col("q.lons"), res
+            ).alias("cell"),
+        ).distinct()
+        if not pad:
+            return pt
+        return pt.select(
+            name, F.explode(C.k_ring("cell", 1, res)).alias("cell")
+        ).distinct()
+
+    cand = (
+        cells(p, "probe_id", False).hint("shuffle_hash")
+        .join(cells(c, "corpus_id", True), "cell")
+        .select("probe_id", "corpus_id")
+        .distinct()
+    )
+
+    def ext(df, name, pfx):
+        return df.select(
+            name,
+            F.array_min("lats").alias(f"{pfx}_minlat"),
+            F.array_max("lats").alias(f"{pfx}_maxlat"),
+            F.array_min("lons").alias(f"{pfx}_minlon"),
+            F.array_max("lons").alias(f"{pfx}_maxlon"),
+        )
+
+    pad_lat, pad_lon = F.lit(d_max), F.lit(d_max / lon_scale)
+    pruned = (
+        cand.join(ext(p, "probe_id", "a").hint("shuffle_hash"), "probe_id")
+        .join(ext(c, "corpus_id", "b").hint("shuffle_hash"), "corpus_id")
+        .filter(
+            (F.col("a_minlat") >= F.col("b_minlat") - pad_lat)
+            & (F.col("a_maxlat") <= F.col("b_maxlat") + pad_lat)
+            & (F.col("a_minlon") >= F.col("b_minlon") - pad_lon)
+            & (F.col("a_maxlon") <= F.col("b_maxlon") + pad_lon)
+            & (F.col("b_minlat") >= F.col("a_minlat") - pad_lat)
+            & (F.col("b_maxlat") <= F.col("a_maxlat") + pad_lat)
+            & (F.col("b_minlon") >= F.col("a_minlon") - pad_lon)
+            & (F.col("b_maxlon") <= F.col("a_maxlon") + pad_lon)
+        )
+        .select("probe_id", "corpus_id")
+    )
+    paired = (
+        pruned.join(
+            p.select(
+                F.col("probe_id"),
+                F.col("lats").alias("alats"), F.col("lons").alias("alons"),
+            ).hint("shuffle_hash"),
+            "probe_id",
+        )
+        .join(
+            c.select(
+                F.col("corpus_id"),
+                F.col("lats").alias("blats"), F.col("lons").alias("blons"),
+            ).hint("shuffle_hash"),
+            "corpus_id",
+        )
+        .select(
+            F.col("probe_id").alias("trip_a"),
+            F.col("corpus_id").alias("trip_b"),
+            "alats", "alons", "blats", "blons",
+        )
+    )
+    from pyspark.sql import Window
+
+    refined = paired.mapInPandas(
+        _hausdorff_kernel(lon_scale * lon_scale),
+        "trip_a long, trip_b long, hd2 double",
+    ).filter(F.col("hd2") <= F.lit(d_max * d_max))
+    w = Window.partitionBy("trip_a").orderBy("hd2", "trip_b")
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("trip_a").alias("probe_id"),
+            F.col("trip_b").alias("corpus_id"),
+            "hd2", "rank",
+        )
+    )
+
+
+def hausdorff_topk_sql(
+    probes_rel: str,
+    corpus_rel: str,
+    d_max: float,
+    k: int = 5,
+    lon_scale: float = LON_SCALE,
+) -> str:
+    """DuckDB twin: full min/max per (probe, corpus) pair — no pruning
+    — then the same threshold + (hd2, corpus_id) rank."""
+    d2 = dist2_points_expr(lon_scale)
+    return f"""
+with p as materialized (select * from {probes_rel} where len(lats) > 0),
+c as materialized (select * from {corpus_rel} where len(lats) > 0),
+pa as materialized (
+  select trip_id, unnest(lats) as alat, unnest(lons) as alon from p
+),
+pb as materialized (
+  select trip_id, unnest(lats) as blat, unnest(lons) as blon from c
+),
+pairs as (select a.trip_id as ta, b.trip_id as tb from p a, c b),
+mins_ab as (
+  select q.ta, q.tb, pa.alat, pa.alon, min({d2}) as md2
+  from pairs q
+  join pa on pa.trip_id = q.ta
+  join pb on pb.trip_id = q.tb
+  group by 1, 2, 3, 4
+),
+h_ab as (select ta, tb, max(md2) as h2 from mins_ab group by 1, 2),
+mins_ba as (
+  select q.ta, q.tb, pb.blat, pb.blon, min({d2}) as md2
+  from pairs q
+  join pa on pa.trip_id = q.ta
+  join pb on pb.trip_id = q.tb
+  group by 1, 2, 3, 4
+),
+h_ba as (select ta, tb, max(md2) as h2 from mins_ba group by 1, 2),
+hd as (
+  select a.ta, a.tb, greatest(a.h2, b.h2) as hd2
+  from h_ab a join h_ba b on a.ta = b.ta and a.tb = b.tb
+  where greatest(a.h2, b.h2) <= {dlit(d_max * d_max)}
+)
+select ta as probe_id, tb as corpus_id, hd2, cast(rk as int) as rank
+from (
+  select *, row_number() over (partition by ta order by hd2, tb) as rk
+  from hd
+) where rk <= {k}
+"""

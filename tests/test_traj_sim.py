@@ -213,3 +213,41 @@ def test_frechet_out_and_back_vs_hausdorff(spark):
     fd2 = frechet_join(df, 1.0).collect()[0].fd2
     assert hd2 == 0.0
     assert fd2 >= (0.006 ** 2) * S  # must walk back while line advances
+
+
+def test_topk_matches_brute_force(spark, trips):
+    from osm_search_spark.operators.traj_sim import hausdorff_topk
+
+    schema = "trip_id long, lats array<double>, lons array<double>"
+    probes = spark.createDataFrame(trips[:3], schema)
+    corpus = spark.createDataFrame(
+        [(t + 100, la, lo) for t, la, lo in trips], schema
+    )
+    got = [
+        (r.probe_id, r.rank, r.corpus_id, r.hd2)
+        for r in hausdorff_topk(probes, corpus, 1.0, k=4)
+        .orderBy("probe_id", "rank").collect()
+    ]
+    exp = []
+    for pid, pla, plo in trips[:3]:
+        ds = sorted(
+            (brute_hd2((pla, plo), (la, lo)), t + 100)
+            for t, la, lo in trips
+        )
+        exp.extend(
+            (pid, rk + 1, cid, d) for rk, (d, cid) in enumerate(ds[:4])
+        )
+    assert got == exp  # bit-exact distances, exact ranks/ties
+
+
+def test_topk_threshold_truncates(spark, trips):
+    from osm_search_spark.operators.traj_sim import hausdorff_topk
+
+    schema = "trip_id long, lats array<double>, lons array<double>"
+    probes = spark.createDataFrame(trips[:1], schema)
+    corpus = spark.createDataFrame(
+        [(t + 100, la, lo) for t, la, lo in trips], schema
+    )
+    tight = hausdorff_topk(probes, corpus, 0.005, k=10).collect()
+    assert 0 < len(tight) < 10  # in-range neighbors only
+    assert all(r.hd2 <= 0.005 * 0.005 for r in tight)
