@@ -56,9 +56,20 @@ def minhash_signatures(
     32-bit slices (standard one-hash MinHash practice); measured ~3x
     faster than the md5(seed||s)-per-seed form at sf0.1."""
     assert n_hashes <= 4  # 32 hex chars / 8
+    # Round-9: shingles come from one native regexp_extract_all with an
+    # overlapping-window lookahead ('(?s)(?=(.{k}))' captures the k chars
+    # at every position where k remain) instead of the char_shingles
+    # transform/filter HOF — the interpreted per-element substring array
+    # build was the dominant cost of this operator (1.55s of 3.4s at
+    # sf0.1; guide §4.1 — prefer native built-ins). Bit-identical shingle
+    # arrays on every SF (asserted row-wise in test_dedup); (?s) keeps
+    # newline-bearing text identical to substring semantics. Internal to
+    # the Spark side only — the DuckDB twin keeps its substr comprehension,
+    # so the lookahead never has to be RE2-compatible.
+    shingle_re = F.lit(f"(?s)(?=(.{{{shingle_k}}}))")
     exploded = docs.select(
         F.col(doc_id).alias("doc_id"),
-        F.explode(char_shingles(text, shingle_k)).alias("s"),
+        F.explode(F.regexp_extract_all(text, shingle_re, 1)).alias("s"),
     ).select("doc_id", F.md5("s").alias("d"))
     aggs = [
         F.min(F.substring("d", 8 * i + 1, 8)).alias(f"h{i}")

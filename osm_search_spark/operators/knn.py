@@ -109,10 +109,8 @@ def knn_join(
         F.min("oix").alias("x0"), F.max("oix").alias("x1"),
         F.min("oiy").alias("y0"), F.max("oiy").alias("y1"),
     )
-    # Joined as a broadcast 1-row frame (NOT collected) so the extent agg
-    # and the obj persist materialize inside the pend-checkpoint job instead
-    # of a separate full pass. coalesce(-1): zero objects -> every probe is
-    # domain-exhausted in round 0 -> empty result, no hang.
+    # coalesce(-1): zero objects -> every probe is domain-exhausted at the
+    # first r_needed comparison -> empty result, no hang.
     r_needed = F.coalesce(
         F.greatest(
             F.col("pix") - F.col("x0"),
@@ -123,15 +121,20 @@ def knn_join(
         ),
         F.lit(-1).cast("long"),
     )
-    pend = (
-        probes.select(
-            probe_id, plat, plon,
-            C.cell_ix(C.latlng_to_cell(plat, plon, res)).alias("pix"),
-            C.cell_iy(C.latlng_to_cell(plat, plon, res)).alias("piy"),
-        )
-        .crossJoin(F.broadcast(ext))
-        .withColumn("r_needed", r_needed)
-        .drop("x0", "x1", "y0", "y1")
+    # Round-9: the extent agg is DEFERRED to the first pend update — the
+    # initial pend checkpoint touches only the probe side, so the first
+    # full pass over the object table is the round-1 candidate join itself
+    # (which also materializes the persisted index; one scan of the big
+    # table saved). Round 1 therefore starts with r_needed = NULL: the
+    # exhaustion term is coalesce(NULL<=r, false) = false, which can only
+    # DELAY a domain-exhausted probe by one (empty, O(1)-cell) round —
+    # its candidate set and final rows are unchanged. From the second
+    # round on, r_needed is exact over the cached index.
+    pend = probes.select(
+        probe_id, plat, plon,
+        C.cell_ix(C.latlng_to_cell(plat, plon, res)).alias("pix"),
+        C.cell_iy(C.latlng_to_cell(plat, plon, res)).alias("piy"),
+        F.lit(None).cast("long").alias("r_needed"),
     )
 
     # guaranteed min distance to any unexplored cell after covering radius R
@@ -157,8 +160,21 @@ def knn_join(
     # operators, or the lineage grows exponentially with rounds (ranked_N
     # references carried_{N-1} AND pend_N references finished_{N-1} which
     # references ranked_{N-1}...) and the driver OOMs stringifying the plan.
+    #
+    # Round-9 shape (guide §2.4 — fewer shuffles, fewer driver-synchronized
+    # jobs): the per-probe finish stats (n_found, kth_dist) ride a SECOND
+    # window over the SAME probe partitioning as the rank window (no new
+    # Exchange), and the fin flag is computed per candidate row — the former
+    # per-round stats groupBy + pend LEFT-join job collapses into the ranked
+    # checkpoint. pend then updates with a probe-level filter plus an
+    # anti-join against the quality-finished ids (zero-candidate probes can
+    # only finish by exhaustion, which is pend-side arithmetic). The final
+    # result is a union of filters over checkpointed frames — no closing
+    # persist+count job is needed before releasing the object index.
+    cand_cols = [probe_id, plat, "r_needed", obj_id, olat, olon, "dist_km"]
     done_parts: list[DataFrame] = []
     carried: DataFrame | None = None  # top-want so far for pending probes
+    have_extent = False
     r_prev = -1
     r = max(1, initial_ring)
     pend = pend.localCheckpoint(eager=True)
@@ -177,64 +193,72 @@ def knn_join(
         )
         if radius_km is not None:
             new_cand = new_cand.filter(F.col("dist_km") <= radius_km)
-        new_cand = new_cand.select(probe_id, obj_id, olat, olon, "dist_km")
+        new_cand = new_cand.select(*cand_cols)
         if carried is not None:
-            new_cand = new_cand.unionByName(
-                carried.select(probe_id, obj_id, olat, olon, "dist_km")
-            )
+            new_cand = new_cand.unionByName(carried.select(*cand_cols))
 
         # coarse cells straddling the old boundary re-emit objects: dedup —
         # but only when e > 0 can a coarse cell overlap already-covered
         # ground (at e == 0 the annulus excludes the old square exactly), so
-        # the big dense round 0 skips the extra shuffle entirely
+        # the big dense round 0 skips the extra shuffle entirely.
+        # (olat/olon/dist are functions of (probe, obj); plat/r_needed of
+        # probe — so the kept row is value-identical whichever duplicate
+        # survives.)
         if e > 0:
             new_cand = new_cand.dropDuplicates([probe_id, obj_id])
+
+        #   finished by quality: k-th candidate closer than the guaranteed
+        #   min distance to any unexplored cell (per-probe cos-adjusted);
+        #   finished by exhaustion: covered the whole object domain, or
+        #   (radius mode) the bound already exceeds the radius. r_needed is
+        #   a per-probe constant on every candidate row (NULL -> not yet
+        #   exhausted in the pre-extent first round), so `fin` is uniform
+        #   across a probe's rows.
+        exhausted_cond = F.coalesce(F.col("r_needed") <= r, F.lit(False))
+        if radius_km is not None:
+            exhausted_cond = exhausted_cond | (bound_km(r) >= radius_km)
         w = Window.partitionBy(probe_id).orderBy("dist_km", obj_id)
+        wp = Window.partitionBy(probe_id)
+        quality_cond = (F.count("*").over(wp) >= want) & (
+            F.max("dist_km").over(wp) <= bound_km(r)
+        )
         ranked = (
             new_cand
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= want)
+            .withColumn("fin", quality_cond | exhausted_cond)
             .localCheckpoint(eager=True)
         )
-
-        # one bookkeeping frame per round (checkpointed once, filtered for
-        # each use — keeps the per-round job count at 3):
-        #   finished by quality: k-th candidate closer than the guaranteed
-        #   min distance to any unexplored cell (per-probe cos-adjusted);
-        #   finished by exhaustion: covered the whole object domain, or
-        #   (radius mode) the bound already exceeds the radius.
-        stats = ranked.groupBy(probe_id).agg(
-            F.count("*").alias("n_found"), F.max("dist_km").alias("kth_dist")
-        )
-        quality_cond = (F.col("n_found") >= want) & (
-            F.col("kth_dist") <= bound_km(r)
-        )
-        exhausted_cond = F.col("r_needed") <= r
-        if radius_km is not None:
-            exhausted_cond = exhausted_cond | (bound_km(r) >= radius_km)
-        pend_ann = (
-            pend.join(stats, probe_id, "left")
-            .withColumn(
-                "fin", F.coalesce(quality_cond, F.lit(False)) | exhausted_cond
-            )
-            .localCheckpoint(eager=True)
-        )
-        finished_ids = pend_ann.filter("fin").select(probe_id)
 
         done_parts.append(
-            ranked.join(finished_ids, probe_id, "leftsemi").select(
+            ranked.filter("fin").select(
                 probe_id, "rank", obj_id, olat, olon, "dist_km"
             )
         )
-        pend_new = pend_ann.filter(~F.col("fin")).select(
-            probe_id, plat, plon, "pix", "piy", "r_needed"
-        )
-        if pend_new.isEmpty():
+        fin_ids = ranked.filter("fin").select(probe_id)
+        pend_new = pend.filter(~exhausted_cond).join(fin_ids, probe_id, "leftanti")
+        if not have_extent:
+            # attach the (now cached-index) domain extent exactly once; the
+            # agg reads the persisted obj index the round-1 join built
+            pend_new = (
+                pend_new.drop("r_needed")
+                .crossJoin(F.broadcast(ext))
+                .withColumn("r_needed", r_needed)
+                .drop("x0", "x1", "y0", "y1")
+            )
+            have_extent = True
+        pend = pend_new.localCheckpoint(eager=True)
+        if pend.isEmpty():
             carried = None
             break
-        pend = pend_new
-        # lazy is fine: depth stays bounded (both parents are checkpointed)
-        carried = ranked.join(finished_ids, probe_id, "leftanti")
+        # lazy is fine: depth stays bounded (the parents are checkpointed);
+        # carried rows take the refreshed per-probe r_needed from pend so
+        # next round's row-level fin stays probe-uniform
+        carried = (
+            ranked.filter(~F.col("fin"))
+            .drop("r_needed")
+            .join(pend.select(probe_id, "r_needed"), probe_id)
+        )
         r_prev, r = r, r * 4
     else:
         # max_rounds hit: emit best-effort carried results for leftovers
@@ -248,9 +272,9 @@ def knn_join(
         out = out.unionByName(p)
     if offset:
         out = out.filter(F.col("rank") > offset)
-    # materialize before releasing the cached inputs the plan depends on
-    out = out.persist()
-    out.count()
+    # every done part filters a checkpointed frame — the plan no longer
+    # references the cached object index, so it can be released with no
+    # extra materialization job
     obj.unpersist()
     return out
 

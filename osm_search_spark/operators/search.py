@@ -138,37 +138,72 @@ def bm25_scores(
 ) -> DataFrame:
     """BM25 over one text field: (doc_id, score). idf = ln((N-df+.5)/(df+.5))
     exactly as scoreBM25Field (searcher.go:249-315). require_all=True gives
-    the autocomplete AND-intersection semantics (searcher.go:493-532)."""
-    toks = doc_tokens(docs, doc_id, text).persist()
-    postings = build_postings(toks)
-    stats = doc_stats(toks)
-    corpus = stats.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    the autocomplete AND-intersection semantics (searcher.go:493-532).
+
+    Round-9 plan (guide §2.3/§2.4 — aggregate before you shuffle / remove
+    shuffles outright): for a bounded query-term list the per-doc tf of
+    each term is pure Column arithmetic
+    (``size(tokens) - size(array_remove(tokens, term))``), so the whole
+    query runs as TWO map passes with ZERO shuffles: one small aggregate
+    for (N, avgdl, per-term df), then a map-side score projection — no
+    corpus-wide explode/groupBy postings build, no persist, no
+    posting-to-doc-stats join. Scores are bit-equal term_score expressions;
+    the per-doc sum has a fixed term order (the former groupBy sum order
+    was partition-dependent; both round to 6 dp identically)."""
+    # isin() semantics: duplicates in query_terms contribute once — dedupe
+    # (order-preserving) so the per-term columns mirror the posting rows
+    terms = list(dict.fromkeys(query_terms))
+    toks = doc_tokens(docs, doc_id, text)
+    if not terms:
+        return toks.select(
+            "doc_id", F.lit(0.0).alias("score")
+        ).limit(0)
+    per_doc = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        *[
+            (F.size("tokens") - F.size(F.array_remove("tokens", t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     ).collect()[0]
     n_docs, avgdl = corpus["n"], corpus["avgdl"]
 
-    qp = postings.filter(F.col("term").isin(query_terms))
-    df_t = qp.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        qp.join(F.broadcast(df_t), "term")
-        .join(stats, "doc_id")
-        .withColumn(
-            "idf",
-            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    score = None
+    matched = None
+    for i in range(len(terms)):
+        dfi = corpus[f"_df{i}"] or 0
+        tf = F.col(f"_tf{i}")
+        # identical expression shape to the former per-posting columns:
+        # df enters as a long literal, every other op unchanged
+        idf = F.log(
+            (F.lit(float(n_docs)) - F.lit(dfi) + 0.5) / (F.lit(dfi) + 0.5)
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        term_score = (
+            idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
         )
+        contrib = F.when(tf > 0, term_score).otherwise(F.lit(0.0))
+        hit = (tf > 0).cast("long")
+        score = contrib if score is None else score + contrib
+        matched = hit if matched is None else matched + hit
+    out = per_doc.select(
+        "doc_id", score.alias("score"), matched.alias("n_matched")
     )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("term_score").alias("score"), F.count("*").alias("n_matched")
+    out = out.filter(
+        F.col("n_matched") == len(query_terms)
+        if require_all
+        else F.col("n_matched") >= 1
     )
-    if require_all:
-        agg = agg.filter(F.col("n_matched") == len(query_terms))
-    return agg.select("doc_id", "score")
+    return out.select("doc_id", "score")
 
 
 def bm25_search(
@@ -261,27 +296,52 @@ def bm25plus_scores(
 ) -> DataFrame:
     """scoreBM25Plus (searcher.go:317-354), replicated faithfully including
     its quirks: idf = log10(N+1) - log10(df), and the numerator reads
-    (K1+1)+tf — a plus, exactly as written at searcher.go:338-340."""
-    toks = doc_tokens(docs, doc_id, text).persist()
-    postings = build_postings(toks)
-    stats = doc_stats(toks)
-    corpus = stats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    (K1+1)+tf — a plus, exactly as written at searcher.go:338-340.
+
+    Round-9: same two-map-pass zero-shuffle plan as bm25_scores (per-doc
+    tf columns + one stats aggregate; no postings explode/groupBy, no
+    persist, no joins)."""
+    terms = list(dict.fromkeys(query_terms))
+    toks = doc_tokens(docs, doc_id, text)
+    if not terms:
+        return toks.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    per_doc = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        *[
+            (F.size("tokens") - F.size(F.array_remove("tokens", t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
     n_docs, avgdl = corpus["n"], float(corpus["avgdl"])
 
-    qp = postings.filter(F.col("term").isin(query_terms))
-    df_t = qp.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log10(F.lit(float(n_docs)) + 1.0) - F.log10(F.col("df"))
-    contrib = idf * (
-        delta
-        + ((k1 + 1.0) + F.col("tf"))
-        / (k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)) + F.col("tf"))
-    )
+    score = None
+    matched = None
+    for i in range(len(terms)):
+        dfi = corpus[f"_df{i}"] or 0
+        tf = F.col(f"_tf{i}")
+        idf = F.log10(F.lit(float(n_docs)) + 1.0) - F.log10(F.lit(dfi))
+        term_score = idf * (
+            delta
+            + ((k1 + 1.0) + tf)
+            / (k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)) + tf)
+        )
+        contrib = F.when(tf > 0, term_score).otherwise(F.lit(0.0))
+        hit = (tf > 0).cast("long")
+        score = contrib if score is None else score + contrib
+        matched = hit if matched is None else matched + hit
     return (
-        qp.join(F.broadcast(df_t), "term")
-        .join(stats, "doc_id")
-        .withColumn("term_score", contrib)
-        .groupBy("doc_id")
-        .agg(F.sum("term_score").alias("score"))
+        per_doc.select("doc_id", score.alias("score"), matched.alias("n_matched"))
+        .filter(F.col("n_matched") >= 1)
+        .select("doc_id", "score")
     )
 
 
@@ -293,27 +353,50 @@ def tfidf_scores(
 ) -> DataFrame:
     """scoreTFIDFCosine (searcher.go:356-400): lnc-style
     (1+log10 tf) * log10(N/df) dot product with the QUERY tf-idf; the
-    reference computes norms but never divides by them — replicated."""
-    toks = doc_tokens(docs, doc_id, text).persist()
-    postings = build_postings(toks)
-    n_docs = toks.count()
+    reference computes norms but never divides by them — replicated.
 
+    Round-9: same two-map-pass zero-shuffle plan as bm25_scores. Query-term
+    MULTIPLICITY still matters here (qtf), exactly as the Counter-based
+    posting formulation."""
     from collections import Counter
 
     qcounts = Counter(query_terms)
-    qdf = postings.filter(F.col("term").isin(list(qcounts)))
-    df_t = qdf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    qtf = F.create_map(
-        *[x for t, c in qcounts.items() for x in (F.lit(t), F.lit(float(c)))]
+    toks = doc_tokens(docs, doc_id, text)
+    if not qcounts:
+        return toks.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    terms = list(qcounts)
+    per_doc = toks.select(
+        "doc_id",
+        *[
+            (F.size("tokens") - F.size(F.array_remove("tokens", t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    idf = F.log10(F.lit(float(n_docs))) - F.log10(F.col("df"))
-    tfidf_q = (1.0 + F.log10(qtf[F.col("term")])) * idf
-    tfidf_d = (1.0 + F.log10(F.col("tf"))) * idf
+    corpus = per_doc.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs = corpus["n"]
+
+    score = None
+    matched = None
+    for i, t in enumerate(terms):
+        dfi = corpus[f"_df{i}"] or 0
+        tf = F.col(f"_tf{i}")
+        idf = F.log10(F.lit(float(n_docs))) - F.log10(F.lit(dfi))
+        tfidf_q = (1.0 + F.log10(F.lit(float(qcounts[t])))) * idf
+        tfidf_d = (1.0 + F.log10(tf)) * idf
+        contrib = F.when(tf > 0, tfidf_d * tfidf_q).otherwise(F.lit(0.0))
+        hit = (tf > 0).cast("long")
+        score = contrib if score is None else score + contrib
+        matched = hit if matched is None else matched + hit
     return (
-        qdf.join(F.broadcast(df_t), "term")
-        .withColumn("contrib", tfidf_d * tfidf_q)
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        per_doc.select("doc_id", score.alias("score"), matched.alias("n_matched"))
+        .filter(F.col("n_matched") >= 1)
+        .select("doc_id", "score")
     )
 
 

@@ -227,6 +227,7 @@ def refine_pip_expr(
     polygons: DataFrame,
     lat: str = "lat",
     lon: str = "lon",
+    full_col: str | None = None,
 ) -> DataFrame:
     """Exact PIP refine without leaving the JVM: broadcast-join the ring
     arrays onto candidates and filter with `pip_expr`. The default refine —
@@ -237,7 +238,15 @@ def refine_pip_expr(
     boundary stays inside (boundary => inside on every ring); one strictly
     inside any hole drops. The hole edges precompute on the dim as
     array<array<edge-struct>> and evaluate with nested HOFs — still no
-    Python."""
+    Python.
+
+    full_col (round 9): name of a boolean column on `candidates` marking
+    FULL-cover rows. When given, the filter becomes
+    ``CASE WHEN full THEN true ELSE <winding-number> END`` so FULL rows
+    skip the per-edge fold inside ONE scan (codegen CASE evaluates the
+    fold only on the PARTIAL branch) — replacing the former
+    full-branch/partial-branch union that scanned the points side twice
+    and built the cover broadcast twice (guide §2.4)."""
 
     def closed(arr, other):
         same = (
@@ -355,6 +364,9 @@ def refine_pip_expr(
         )
         keep = keep & ~F.coalesce(in_hole, F.lit(False))
         drop_cols.append("_hole_edges")
+    if full_col is not None:
+        keep = F.when(F.col(full_col), F.lit(True)).otherwise(keep)
+        drop_cols.append(full_col)
     return joined.filter(keep).drop(*drop_cols)
 
 
@@ -446,6 +458,37 @@ def refine_pip_grouped(
 
 AUTO_GROUPED_DIM_THRESHOLD = 20000
 
+# Round-9 small-dim fast path: dims at or below this many polygons classify
+# their cell cover ON THE DRIVER (numpy, same classified_cover_rows kernel)
+# and ship it as a VALUES-backed LocalRelation — the broadcast build then
+# needs NO Spark job and NO Python-worker round trip. Kept deliberately
+# small so a dim with huge rings never stalls the driver; bigger dims use
+# the distributed mapInPandas classify exactly as before.
+DRIVER_CLASSIFY_MAX_POLYGONS = 256
+DRIVER_CLASSIFY_MAX_CELLS = 8192
+
+
+def _classified_cover_local(spark, rows, res: int) -> DataFrame | None:
+    """Driver-side classified cover as a LocalRelation, or None when the
+    cover is too big to inline (caller falls back to the distributed
+    classify). `rows` are collected polygon rows (ring/holes columns)."""
+    cover_rows = classified_cover_rows(rows, res)
+    if len(cover_rows) > DRIVER_CLASSIFY_MAX_CELLS:
+        return None
+    if not cover_rows:
+        return spark.createDataFrame(
+            [], schema="polygon_id long, cell_id long, full boolean"
+        )
+    vals = ",".join(
+        f"({pid},{cell},{'true' if full else 'false'})"
+        for pid, cell, full in cover_rows
+    )
+    return spark.sql(
+        "select cast(polygon_id as bigint) as polygon_id, "
+        "cast(cell_id as bigint) as cell_id, full "
+        f"from (values {vals}) as t(polygon_id, cell_id, full)"
+    )
+
 
 def spatial_join(
     points: DataFrame,
@@ -477,11 +520,27 @@ def spatial_join(
     probe — never a full count of an unbounded dim).
     """
     polygons = with_bbox(polygons)
+    local_cover: DataFrame | None = None
     if refine == "expr" and dim_threshold is not None:
-        n_probe = polygons.select("polygon_id").limit(dim_threshold + 1).count()
-        if n_probe > dim_threshold:
-            refine = "grouped"
-            broadcast_cover = False
+        # bounded take doubles as the size probe AND (when the dim is
+        # small) the input to the driver-side cover fast path: for a
+        # LocalRelation fixture dim executeTake collects with NO job at
+        # all; for storage-backed dims it reads at most a partition or two
+        ring_cols = ["polygon_id", "ring_lat", "ring_lon"] + [
+            c for c in ("holes_lat", "holes_lon") if c in polygons.columns
+        ]
+        head = polygons.select(*ring_cols).take(DRIVER_CLASSIFY_MAX_POLYGONS + 1)
+        if len(head) <= DRIVER_CLASSIFY_MAX_POLYGONS:
+            local_cover = _classified_cover_local(
+                polygons.sparkSession, head, res
+            )
+        else:
+            n_probe = (
+                polygons.select("polygon_id").limit(dim_threshold + 1).count()
+            )
+            if n_probe > dim_threshold:
+                refine = "grouped"
+                broadcast_cover = False
     if refine is False:
         return cell_join(points, polygons, res, lat, lon, broadcast_cover)
     if refine in (True, "arrow"):
@@ -493,18 +552,21 @@ def spatial_join(
 
     # default "expr" path: FULL cells match with no per-row test (pure
     # codegen), only boundary (PARTIAL) candidates evaluate the exact
-    # winding-number fold — refine cost ~ polygon perimeter, not area
-    cover = classified_cover(polygons, res)
+    # winding-number fold — refine cost ~ polygon perimeter, not area.
+    # ONE scan (round 9): the former full-branch/partial-branch union
+    # duplicated the points scan, the cell_id projection and the cover
+    # broadcast build (incl. the classify MapInPandas) per branch; the
+    # CASE-guarded refine filter keeps the FULL fast path inside a single
+    # pass (guide §2.4 — remove shuffles/scans outright).
+    cover = local_cover if local_cover is not None else classified_cover(polygons, res)
     if broadcast_cover:
         cover = F.broadcast(cover)
     pts = points.withColumn("cell_id", C.latlng_to_cell(lat, lon, res))
     cand = pts.join(cover, "cell_id", "inner")
     out_cols = [c for c in cand.columns if c != "full"]
-    full_part = cand.filter(F.col("full")).select(out_cols)
-    partial = refine_pip_expr(
-        cand.filter(~F.col("full")).select(out_cols), polygons, lat, lon
+    return refine_pip_expr(cand, polygons, lat, lon, full_col="full").select(
+        out_cols
     )
-    return full_part.unionByName(partial)
 
 
 def first_match_per_level(

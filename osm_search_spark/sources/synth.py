@@ -115,14 +115,30 @@ def admin_polygons_py(box: tuple = COUNTRY) -> list[dict]:
 
 
 def admin_polygons(spark: SparkSession, box: tuple = COUNTRY) -> DataFrame:
+    """Fixture dim as a VALUES-backed LocalRelation (round 9): a
+    createDataFrame dim is RDD-backed, so every broadcast build and
+    bounded `take` probe against it launches a (32-slice) Spark job; the
+    inline-table form resolves to a LocalRelation the driver reads
+    directly — spatial_join's probe and the cover/rings/dim broadcasts
+    then cost zero jobs. Same schema and values, bit-exact doubles via
+    dlit."""
     rows = admin_polygons_py(box)
-    return spark.createDataFrame(
-        rows,
-        schema=(
-            "polygon_id long, name string, admin_level int, "
-            "minlat double, minlon double, maxlat double, maxlon double, "
-            "ring_lat array<double>, ring_lon array<double>"
-        ),
+    vals = ",\n".join(
+        "({}, '{}', {}, {}, {}, {}, {}, array({}), array({}))".format(
+            p["polygon_id"], p["name"], p["admin_level"],
+            dlit(p["minlat"]), dlit(p["minlon"]),
+            dlit(p["maxlat"]), dlit(p["maxlon"]),
+            ",".join(dlit(v) for v in p["ring_lat"]),
+            ",".join(dlit(v) for v in p["ring_lon"]),
+        )
+        for p in rows
+    )
+    return spark.sql(
+        "select cast(polygon_id as bigint) as polygon_id, name, "
+        "cast(admin_level as int) as admin_level, "
+        "minlat, minlon, maxlat, maxlon, ring_lat, ring_lon "
+        f"from (values\n{vals}\n) as t(polygon_id, name, admin_level, "
+        "minlat, minlon, maxlat, maxlon, ring_lat, ring_lon)"
     )
 
 
@@ -800,8 +816,13 @@ ORACLE_PROBES = [
 
 
 def probes_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        ORACLE_PROBES, schema="probe_id long, plat double, plon double"
+    # VALUES-backed LocalRelation (round 9) — same dlit literals as the
+    # oracle twin, zero-job checkpoint/broadcast (see admin_polygons)
+    rows = ",".join(
+        f"(cast({i} as bigint), {dlit(la)}, {dlit(lo)})" for i, la, lo in ORACLE_PROBES
+    )
+    return spark.sql(
+        f"select * from (values {rows}) as probes(probe_id, plat, plon)"
     )
 
 
@@ -823,8 +844,11 @@ FAR_PROBES = [
 
 
 def probes_far_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        FAR_PROBES, schema="probe_id long, plat double, plon double"
+    rows = ",".join(
+        f"(cast({i} as bigint), {dlit(la)}, {dlit(lo)})" for i, la, lo in FAR_PROBES
+    )
+    return spark.sql(
+        f"select * from (values {rows}) as probes(probe_id, plat, plon)"
     )
 
 

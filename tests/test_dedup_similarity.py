@@ -26,6 +26,49 @@ def test_minhash_identical_docs_same_signature(spark):
     assert by_id[1] != by_id[3]
 
 
+def test_minhash_regex_shingles_match_char_shingles(spark):
+    """Round-9: minhash_signatures generates shingles via an overlapping
+    regexp lookahead instead of the char_shingles HOF. The shingle arrays
+    must stay bit-identical — including newline-bearing, short (< k),
+    empty, and non-ASCII texts (regex '.' and substring both count code
+    points; '(?s)' covers newlines)."""
+    from osm_search_spark.functions.text import char_shingles
+
+    texts = [
+        (1, "the quick brown fox"),
+        (2, "line one\nline two\nline three"),
+        (3, "abcd"),          # shorter than k=5 -> empty
+        (4, ""),
+        (5, "ab\ncd"),        # exactly k with a newline inside
+        (6, "café brûlé ümläut"),
+        (7, "tab\tand  spaces   here"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    mism = (
+        docs.select(
+            (
+                char_shingles("text", 5)
+                == F.regexp_extract_all("text", F.lit("(?s)(?=(.{5}))"), 1)
+            ).alias("eq")
+        )
+        .filter(~F.col("eq"))
+        .count()
+    )
+    assert mism == 0
+    # and the signatures themselves agree with a python brute force
+    sig = {r["doc_id"]: r for r in dedup.minhash_signatures(docs).collect()}
+    import hashlib
+
+    for doc_id, text in texts:
+        sh = [text[i : i + 5] for i in range(len(text) - 4)] if len(text) >= 5 else []
+        if not sh:
+            assert doc_id not in sig
+            continue
+        digests = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        for i in range(4):
+            assert sig[doc_id][f"h{i}"] == min(d[8 * i : 8 * i + 8] for d in digests)
+
+
 def test_lsh_pairs_finds_near_dups(spark):
     near_a = "the quick brown fox jumps over the lazy dog near the river bank today"
     near_b = "the quick brown fox jumps over the lazy dog near the river bank2 today"
