@@ -31,11 +31,13 @@ SF001 = "/root/testdata/sf0.001"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan: the test inputs are single-row-group parquet (one scan
+    # task); see synth.spread_scan — no-op on already-parallel scans
+    return synth.spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return synth.spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -76,7 +78,8 @@ from points p join polys
 
 # Q2: pure tile assignment at two resolutions
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = synth.derive_points(spark, sf_dir)
+    # map-only: the spread exchange would cost more than the projection
+    pts = synth.derive_points(spark, sf_dir, spread=False)
     return pts.select(
         "point_id",
         C.latlng_to_cell("lat", "lon", C.JOIN_RES).alias("cell_join"),
@@ -99,9 +102,12 @@ def q_admin_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = synth.derive_points(spark, sf_dir)
     polys = synth.admin_polygons(spark)
     joined = spatial_join(points, polys, res=C.JOIN_RES)
-    return first_match_per_level(joined, polys).select(
-        "point_id", "admin_level", "polygon_id", "name"
-    )
+    # project to the argmin keys before the groupBy: carried columns ride
+    # inside the min(struct(...)) compare AND the exchange — this query
+    # returns none of them (guide §2.3 — project before the exchange)
+    return first_match_per_level(
+        joined.select("point_id", "polygon_id"), polys
+    ).select("point_id", "admin_level", "polygon_id", "name")
 
 
 def sql_admin_first_match() -> str:
@@ -769,7 +775,7 @@ from documents
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_search_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = synth.spread_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     states = (
         ev.filter(F.col("event_id") % 5 == 0)
         .groupBy("user_id", "ts")
@@ -809,7 +815,7 @@ _BANDS = [(i, i * 3.5, i * 3.5 + 6.0) for i in range(60)]
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_search_spark.operators.range_join import range_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = synth.spread_scan(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
         "event_id", "value"
     )
     bands = spark.createDataFrame(
@@ -837,7 +843,7 @@ from events e join bands b on b.lo <= e.value and e.value < b.hi
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_search_spark.operators.rollup import time_rollup
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = synth.spread_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return time_rollup(ev).select(
         "bucket_ts", "event_type", "n_events", "sum_cents"
     )
@@ -2073,8 +2079,9 @@ def sql_traj_topk() -> str:
 # same family (frechet_join). Fixture: the Hausdorff shape classes
 # WITHOUT the subsampled variant (the unrolled twin needs fixed-length
 # trips; the guard CTE errors on violation). Twin: the full n x n DP
-# unrolled as chained CTEs with lateral column aliases (the hmm_match
-# unrolled-Viterbi pattern), IDENTICAL d2 text, min/max selections only
+# unrolled as one MATERIALIZED CTE per cell (never lateral aliases nor
+# plain chained selects — multi-reference re-inlining is exponential;
+# round-8 CLAUDE.md lesson), IDENTICAL d2 text, min/max selections only
 # -> fd2 bit-exact, NO rounding, and NO pruning (superset argument).
 def q_traj_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_search_spark.operators.traj_sim import frechet_join
@@ -2467,7 +2474,7 @@ def sql_gopher_repetition() -> str:
 
 # Q15: running sum window over events
 def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = synth.spread_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -2792,7 +2799,7 @@ select probe_id, rank, obj_id, dist_km from (
 
 # Q24: gap-based sessionization over events (training-pipeline window op)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = synth.spread_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ; session tz is pinned UTC so ltz epoch == duckdb epoch()
     epoch = F.col("ts").cast("timestamp_ltz").cast("long")
@@ -2840,7 +2847,7 @@ def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lat_e = synth.LAT_EXPR.replace("o_orderkey", "event_id")
     lon_e = synth.LON_EXPR.replace("o_orderkey", "event_id")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = synth.spread_scan(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
         "event_id", "user_id",
         F.col("ts").cast("timestamp_ltz").cast("long").alias("tsl"),
         F.expr(lat_e).alias("lat"), F.expr(lon_e).alias("lon"),
@@ -3880,7 +3887,7 @@ def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_search_spark.operators.interpolate import idw_interpolate
 
     samples = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        synth.spread_scan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
         .select(
             F.expr(synth.LAT_EXPR).alias("lat"),
             F.expr(synth.LON_EXPR).alias("lon"),
@@ -4268,7 +4275,7 @@ PROBE_LON = "(110.20 + (cast((o_orderkey * 31727) % 1000003 as double) / 1000003
 
 def q_bulk_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        synth.spread_scan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
         .filter(F.col("o_orderkey") % 29 == 0)
         .select(
             F.col("o_orderkey").alias("probe_id"),
@@ -4277,8 +4284,17 @@ def q_bulk_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     objects = synth.derive_points(spark, sf_dir)
+    # Round-9: index res 16 (~0.3 km cells) instead of TILE_RES=14 — the
+    # k-NN result is res-independent (the finalize bound is exact at any
+    # res; oracle-verified at every SF), but the round-1 candidate count is
+    # density x ring area: at bench density res 14 fed ~1.6k candidates per
+    # probe into the 1-NN reduction (~8M rows for 5k probes) where res 16
+    # feeds ~100 (4.16s -> ~1.9s at sf0.1 after the argmin + lazy-extent
+    # knn changes; res 15 measured ~0.3s slower, res 17 slower again).
+    # Denser (larger-SF) inputs only push the optimal res finer; sparse
+    # small-SF gates just take an extra O(1)-cell expansion round.
     res = knn_join(
-        probes, objects, k=1, res=C.TILE_RES,
+        probes, objects, k=1, res=16,
         obj_id="point_id", olat="lat", olon="lon",
     )
     return res.select(
@@ -4814,7 +4830,7 @@ def _rect_layer(spark: SparkSession, sf_dir: str, salt: int) -> DataFrame:
     x1 = x0 + (F.pmod(k, 40) + 1) * 0.03125
     y1 = y0 + (F.pmod(k * 31, 40) + 1) * 0.03125
     return (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
+        synth.spread_scan(spark.read.parquet(f"{sf_dir}/part.parquet"))
         .select(
             k.cast("long").alias("polygon_id"),
             F.array(y0, y0, y1, y1, y0).alias("ring_lat"),

@@ -88,7 +88,14 @@ def pick_res(eps: float, lon_scale: float = LON_SCALE) -> int:
     candidate cover."""
     reach = eps / lon_scale
     res = int(math.floor(math.log2(180.0 / reach)))
-    return max(0, min(res, 28))
+    # floor 1, not 0 (ADVICE r08): at res 0 the grid has only nx=2
+    # longitude columns, so the dx=+1 forward probe from ix=0 and from
+    # ix=1 wrap onto EACH OTHER and every cross-column pair would be
+    # emitted twice by the symmetrizing explode (inflated neighbor
+    # counts -> bogus cores). res >= 1 keeps forward-probe targets
+    # distinct from their sources; a 90-degree cell still covers any
+    # meaningful eps.
+    return max(1, min(res, 28))
 
 
 def _local_uf(pdf):

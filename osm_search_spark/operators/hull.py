@@ -145,7 +145,14 @@ def convex_hull(
     lon: str = "lon",
 ) -> DataFrame:
     """(group, n_vertices, hull_lats, hull_lons) — one canonical CCW
-    hull ring per group (see module docstring for the exact contract)."""
+    hull ring per group (see module docstring for the exact contract).
+
+    NULL-group rows are DROPPED (ADVICE r08): both kernels group via
+    pandas groupby, whose dropna default discards them — pinned here as
+    the contract rather than an accident. Feeding dbscan output straight
+    in therefore hulls only clustered points; noise rows (cluster_id
+    NULL) never contribute. Pre-filter explicitly if you need an error
+    instead."""
     gtype = points.schema[group].dataType.simpleString()
     src = points.select(group, lat, lon)
     local = src.mapInPandas(

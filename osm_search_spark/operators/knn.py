@@ -203,8 +203,9 @@ def knn_join(
         # the big dense round 0 skips the extra shuffle entirely.
         # (olat/olon/dist are functions of (probe, obj); plat/r_needed of
         # probe — so the kept row is value-identical whichever duplicate
-        # survives.)
-        if e > 0:
+        # survives.) The want==1 argmin path below is duplicate-immune
+        # (min over duplicates) and skips the dedup shuffle at any e.
+        if e > 0 and want > 1:
             new_cand = new_cand.dropDuplicates([probe_id, obj_id])
 
         #   finished by quality: k-th candidate closer than the guaranteed
@@ -217,18 +218,53 @@ def knn_join(
         exhausted_cond = F.coalesce(F.col("r_needed") <= r, F.lit(False))
         if radius_km is not None:
             exhausted_cond = exhausted_cond | (bound_km(r) >= radius_km)
-        w = Window.partitionBy(probe_id).orderBy("dist_km", obj_id)
-        wp = Window.partitionBy(probe_id)
-        quality_cond = (F.count("*").over(wp) >= want) & (
-            F.max("dist_km").over(wp) <= bound_km(r)
-        )
-        ranked = (
-            new_cand
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= want)
-            .withColumn("fin", quality_cond | exhausted_cond)
-            .localCheckpoint(eager=True)
-        )
+        if want == 1:
+            # 1-NN argmin (round 9; the round-3 "argmin is not a ranking"
+            # rule): groupBy + min(struct) gets map-side PARTIAL hash
+            # aggregation — no per-partition sort of the full candidate
+            # set (the rank-window form does sort map-side, even though
+            # WindowGroupLimit caps what the exchange carries). Struct
+            # order (dist_km, obj_id, ...) == the window's orderBy, so
+            # the surviving row is identical; n_found >= 1 holds for any
+            # probe present in the aggregate.
+            g = new_cand.groupBy(probe_id).agg(
+                F.min(
+                    F.struct(
+                        F.col("dist_km"), F.col(obj_id), F.col(olat),
+                        F.col(olon), F.col(plat), F.col("r_needed"),
+                    )
+                ).alias("b")
+            )
+            ranked = (
+                g.select(
+                    probe_id,
+                    F.col(f"b.{plat}").alias(plat),
+                    F.col("b.r_needed").alias("r_needed"),
+                    F.col(f"b.{obj_id}").alias(obj_id),
+                    F.col(f"b.{olat}").alias(olat),
+                    F.col(f"b.{olon}").alias(olon),
+                    F.col("b.dist_km").alias("dist_km"),
+                )
+                .withColumn("rank", F.lit(1))
+                .withColumn(
+                    "fin",
+                    (F.col("dist_km") <= bound_km(r)) | exhausted_cond,
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            w = Window.partitionBy(probe_id).orderBy("dist_km", obj_id)
+            wp = Window.partitionBy(probe_id)
+            quality_cond = (F.count("*").over(wp) >= want) & (
+                F.max("dist_km").over(wp) <= bound_km(r)
+            )
+            ranked = (
+                new_cand
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= want)
+                .withColumn("fin", quality_cond | exhausted_cond)
+                .localCheckpoint(eager=True)
+            )
 
         done_parts.append(
             ranked.filter("fin").select(
@@ -236,21 +272,25 @@ def knn_join(
             )
         )
         fin_ids = ranked.filter("fin").select(probe_id)
-        pend_new = pend.filter(~exhausted_cond).join(fin_ids, probe_id, "leftanti")
-        if not have_extent:
-            # attach the (now cached-index) domain extent exactly once; the
-            # agg reads the persisted obj index the round-1 join built
-            pend_new = (
-                pend_new.drop("r_needed")
-                .crossJoin(F.broadcast(ext))
-                .withColumn("r_needed", r_needed)
-                .drop("x0", "x1", "y0", "y1")
-            )
-            have_extent = True
-        pend = pend_new.localCheckpoint(eager=True)
+        pend = pend.filter(~exhausted_cond).join(
+            fin_ids, probe_id, "leftanti"
+        ).localCheckpoint(eager=True)
         if pend.isEmpty():
             carried = None
             break
+        if not have_extent:
+            # another round IS coming: attach the domain extent exactly
+            # once, reading the persisted obj index the round-1 join just
+            # built. Deliberately AFTER the isEmpty check — the common
+            # finish-in-one-round case never pays the extent aggregate.
+            pend = (
+                pend.drop("r_needed")
+                .crossJoin(F.broadcast(ext))
+                .withColumn("r_needed", r_needed)
+                .drop("x0", "x1", "y0", "y1")
+                .localCheckpoint(eager=True)
+            )
+            have_extent = True
         # lazy is fine: depth stays bounded (the parents are checkpointed);
         # carried rows take the refreshed per-probe r_needed from pend so
         # next round's row-level fin stays probe-uniform

@@ -254,22 +254,60 @@ where greatest(a.h2, b.h2) <= {dlit(d_max * d_max)}
 # Discrete Frechet distance — the coupling metric of the same family
 # ---------------------------------------------------------------------------
 
+def frechet_dp_batch(al, ao, bl, bo, s2: float):
+    """Squared discrete Frechet distance for a BATCH of pairs at once.
+
+    al/ao/bl/bo: lists of 1-D float64 arrays (non-empty). Round-9
+    (VERDICT r08 #5): the DP sweeps ANTIDIAGONALS of a padded
+    (P, n_max, m_max) tensor — every dependency of diagonal s
+    (ca[i-1,j], ca[i,j-1], ca[i-1,j-1]) lives on diagonals s-1/s-2, so
+    each diagonal evaluates as one vectorized numpy expression across
+    ALL pairs simultaneously; the former per-cell python j-loop is gone.
+    A +inf ghost row/column realizes the boundary cases of the
+    recurrence; padded cells compute garbage that no valid cell ever
+    reads (dependencies point strictly down-index). The DP is min/max
+    SELECTIONS only, so each cell — and fd2 — is bit-exact against the
+    scalar loop (selection networks are associativity-free; asserted in
+    test_traj_sim's loop-parity test)."""
+    import numpy as np
+
+    P = len(al)
+    la = np.array([a.size for a in al], dtype=np.int64)
+    lb = np.array([b.size for b in bl], dtype=np.int64)
+    n, m = int(la.max()), int(lb.max())
+    A_lat = np.zeros((P, n)); A_lon = np.zeros((P, n))
+    B_lat = np.zeros((P, m)); B_lon = np.zeros((P, m))
+    for p in range(P):
+        A_lat[p, : la[p]] = al[p]; A_lon[p, : la[p]] = ao[p]
+        B_lat[p, : lb[p]] = bl[p]; B_lon[p, : lb[p]] = bo[p]
+    dy = A_lat[:, :, None] - B_lat[:, None, :]
+    dx = A_lon[:, :, None] - B_lon[:, None, :]
+    d2 = dy * dy + (dx * dx) * np.float64(s2)
+    # ghost-padded dp: cell (i, j) lives at dp[:, i+1, j+1]
+    dp = np.full((P, n + 1, m + 1), np.inf)
+    dp[:, 1, 1] = d2[:, 0, 0]
+    for s in range(1, n + m - 1):
+        i = np.arange(max(0, s - m + 1), min(n - 1, s) + 1)
+        j = s - i
+        prev = np.minimum(
+            np.minimum(dp[:, i, j + 1], dp[:, i + 1, j]), dp[:, i, j]
+        )
+        dp[:, i + 1, j + 1] = np.maximum(d2[:, i, j], prev)
+    return dp[np.arange(P), la, lb]
+
+
 def _frechet_kernel(s2: float):
     """mapInPandas kernel computing the squared discrete Frechet
-    distance per candidate pair. d2 entries come from the vectorized
-    numpy matrix with dist2_points_expr's pinned operation order; the
-    DP combines them with min/max SELECTIONS only, so the result is
-    bit-exact against ANY re-derivation of the same recurrence
-    (selection networks are associativity-free). The j-chain forces a
-    python inner loop — O(n*m) per pair — which is why the candidate +
-    endpoint pruning in frechet_join matters (see bench note)."""
+    distance per candidate pair — one batched antidiagonal numpy DP per
+    Arrow batch (frechet_dp_batch); no per-cell python."""
 
     def kern(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out_a, out_b, out_d = [], [], []
+            ids_a, ids_b = [], []
+            al_l, ao_l, bl_l, bo_l = [], [], [], []
             for ta, tb, al, ao, bl, bo in zip(
                 pdf["trip_a"], pdf["trip_b"],
                 pdf["alats"], pdf["alons"], pdf["blats"], pdf["blons"],
@@ -280,27 +318,18 @@ def _frechet_kernel(s2: float):
                 bo = np.asarray(bo, dtype=np.float64)
                 if al.size == 0 or bl.size == 0:
                     continue
-                dy = al[:, None] - bl[None, :]
-                dx = ao[:, None] - bo[None, :]
-                d2 = dy * dy + (dx * dx) * np.float64(s2)
-                dp = np.maximum.accumulate(d2[0])
-                for i in range(1, len(al)):
-                    new = np.empty_like(dp)
-                    new[0] = max(dp[0], d2[i, 0])
-                    row = d2[i]
-                    for j in range(1, len(bl)):
-                        new[j] = max(
-                            row[j], min(dp[j], dp[j - 1], new[j - 1])
-                        )
-                    dp = new
-                out_a.append(int(ta))
-                out_b.append(int(tb))
-                out_d.append(float(dp[-1]))
+                ids_a.append(int(ta)); ids_b.append(int(tb))
+                al_l.append(al); ao_l.append(ao)
+                bl_l.append(bl); bo_l.append(bo)
+            if ids_a:
+                fd2 = frechet_dp_batch(al_l, ao_l, bl_l, bo_l, s2)
+            else:
+                fd2 = []
             yield pd.DataFrame(
                 {
-                    "trip_a": pd.Series(out_a, dtype="int64"),
-                    "trip_b": pd.Series(out_b, dtype="int64"),
-                    "fd2": pd.Series(out_d, dtype="float64"),
+                    "trip_a": pd.Series(ids_a, dtype="int64"),
+                    "trip_b": pd.Series(ids_b, dtype="int64"),
+                    "fd2": pd.Series(np.asarray(fd2, dtype=np.float64)),
                 }
             )
 
@@ -413,8 +442,10 @@ def frechet_sql(
     """DuckDB twin of frechet_join over a relation of FIXED-length
     trips (len(lats) == n for every row — asserted by a guard CTE that
     errors the whole query on violation): the n x n DP fully unrolled
-    as chained CTEs, one per row, with lateral column aliases carrying
-    the intra-row j-chain (hmm_match's unrolled-Viterbi pattern). Each
+    as one MATERIALIZED CTE per DP cell (`as materialized` — NOT lateral
+    column aliases, and not plain chained selects either: a DP cell
+    references multiple previous cells, so any re-inlining form expands
+    the prefix exponentially; the round-8 CLAUDE.md lesson). Each
     d2 cell uses the IDENTICAL dist2_points_expr text over list
     extracts; the DP is min/max selections, so fd2 is bit-exact."""
     d2t = dist2_points_expr(lon_scale)

@@ -47,16 +47,40 @@ def points_sql(sf_dir: str | None = None, table: str = "orders") -> str:
     )
 
 
-def derive_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spread_scan(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Scale-adaptive scan parallelism (guide §2.5 input skew / §6).
+
+    The sandbox test inputs are SINGLE-ROW-GROUP parquet files, and a row
+    group is unsplittable — every map-side stage over them (tokenize, md5,
+    PIP refine, haversine) otherwise executes as ONE task on one core
+    regardless of local[N]. Round-robin repartition to the default
+    parallelism when (and only when) the scan's own partition count is
+    below min_fraction of it: at production scale multi-row-group inputs
+    already scan wide, the guard sees that and this is a no-op — the
+    repartition never touches a big table. Deterministic row placement
+    (sortBeforeRepartition is on), and every consumer here is
+    row-order-insensitive."""
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2.0, want * min_fraction):
+        return df
+    return df.repartition(want)
+
+
+def derive_points(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """Spark-side derived point set — same SQL expression strings, so the
-    doubles are bit-identical to the oracle's."""
-    return (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(
-            F.col("o_orderkey").alias("point_id"),
-            F.expr(LAT_EXPR).alias("lat"),
-            F.expr(LON_EXPR).alias("lon"),
-        )
+    doubles are bit-identical to the oracle's. spread=False for purely
+    map-only consumers (projection + noop/write): they gain nothing from
+    the spread exchange and skip its cost."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if spread:
+        src = spread_scan(src)
+    return src.select(
+        F.col("o_orderkey").alias("point_id"),
+        F.expr(LAT_EXPR).alias("lat"),
+        F.expr(LON_EXPR).alias("lon"),
     )
 
 

@@ -108,3 +108,28 @@ def test_ring_cover_is_complete_across_cell_edges(spark):
     got = _run(spark, rows, min_pts=2)
     assert got[0] == ("core", 0)
     assert got[1] == ("core", 0)
+
+
+def test_pick_res_degenerate_grid_clamped(spark):
+    """ADVICE r08: eps large enough that reach > 90 deg used to pick
+    res 0 (nx=2), where the dx=+1 forward probes from ix=0 and ix=1 wrap
+    onto each other and every cross-column pair is emitted twice by the
+    symmetrizing explode. pick_res must clamp to res >= 1, and a
+    huge-eps run must still count each neighbor once (3 points all
+    mutually in range -> all cores of one cluster, not double-counted)."""
+    assert pick_res(100.0) >= 1
+    assert pick_res(1e9) >= 1
+    # reach > 90 deg now raises (res-0 grids no longer reachable) ...
+    with pytest.raises(ValueError):
+        _run(spark, [(0, 0.0, 0.0)], eps=100.0, min_pts=2)
+    # ... while the largest valid reach (90 deg at res 1, nx=4: forward
+    # probes distinct from sources) still counts each neighbor once
+    from osm_search_spark.operators.dbscan import LON_SCALE
+
+    out = _run(
+        spark,
+        [(0, 0.0, 0.0), (1, 0.0, 0.001), (2, 0.001, 0.0)],
+        eps=89.9 * LON_SCALE,
+        min_pts=3,
+    )
+    assert out == {0: ("core", 0), 1: ("core", 0), 2: ("core", 0)}

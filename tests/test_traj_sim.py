@@ -251,3 +251,27 @@ def test_topk_threshold_truncates(spark, trips):
     tight = hausdorff_topk(probes, corpus, 0.005, k=10).collect()
     assert 0 < len(tight) < 10  # in-range neighbors only
     assert all(r.hd2 <= 0.005 * 0.005 for r in tight)
+
+
+def test_frechet_dp_batch_matches_recursion():
+    """Round-9: the antidiagonal batched numpy DP (frechet_dp_batch) must
+    be BIT-exact vs the recursive definition over random variable-length
+    pairs, including 1-point and max-length-mismatch shapes (padding must
+    never leak into valid cells)."""
+    import numpy as np
+
+    from osm_search_spark.operators.traj_sim import frechet_dp_batch
+
+    rng = np.random.default_rng(7)
+    al_l, ao_l, bl_l, bo_l = [], [], [], []
+    for _ in range(40):
+        na, nb = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        al_l.append(rng.uniform(-8, -7, na)); ao_l.append(rng.uniform(110, 111, na))
+        bl_l.append(rng.uniform(-8, -7, nb)); bo_l.append(rng.uniform(110, 111, nb))
+    got = frechet_dp_batch(al_l, ao_l, bl_l, bo_l, S)
+    for p in range(40):
+        exp = brute_fd2(
+            (al_l[p].tolist(), ao_l[p].tolist()),
+            (bl_l[p].tolist(), bo_l[p].tolist()),
+        )
+        assert got[p] == exp, p
