@@ -100,6 +100,9 @@ def minhash_sql(
 
 DEFAULT_LSH_MAX_BUCKET = 1000  # see tools/bench_lsh_skew.py for the cutoff
 _HEAVY_GRAM_LITERALS = 1000  # heavy-hitter grams kept as a literal filter
+# connected_components driver fast path cap (2 ids/edge collected; above
+# this the distributed pointer-jumping loop runs unchanged)
+DRIVER_CC_MAX_EDGES = 200_000
 
 
 def lsh_candidate_pairs(
@@ -349,6 +352,49 @@ def connected_components(
     checkpointed frame (no extra shuffle); raises if max_iter rounds do not
     converge (duplicate clusters have tiny diameters in practice).
     """
+    # Round-9 bounded driver fast path: near-dup candidate graphs at gate
+    # and bench scale are a few hundred to a few thousand edges, yet every
+    # distributed label round costs seconds of driver-synchronized
+    # latency (measured 8 rounds x ~1.7s for ~800 planted edges at 20k
+    # docs). A bounded take() — ONE evaluation of the pair plan, same as
+    # the checkpoint below — collects small graphs and runs an exact
+    # union-find on the driver (identical min-id labels). Graphs over the
+    # cap (which is bytes-bounded: 2 longs/edge) fall through to the
+    # distributed pointer-jumping loop unchanged.
+    edge_rows = pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).take(DRIVER_CC_MAX_EDGES + 1)
+    if len(edge_rows) <= DRIVER_CC_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for e in edge_rows:
+            u, v = e["src"], e["dst"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id so the root IS the component label
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        out_rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = pairs.schema[a].dataType
+        schema = StructType(
+            [StructField("node", node_t), StructField("component_id", node_t)]
+        )
+        return spark.createDataFrame(out_rows, schema=schema)
+
     # checkpoint the edge frame once: the upstream pair plan (an LSH band
     # self-join, typically) must not re-execute every round
     sym = (
@@ -528,12 +574,26 @@ def dedup_spans(
 
     toks = tokenize_simple(F.col(text))
     base = docs.select(F.col(doc_id).alias("doc_id"), toks.alias("_t"))
+    # round-9: explode POSITIONS and build each gram with the codegen
+    # concat_ws(slice(...)) instead of materializing the ngrams() HOF
+    # array first (same gram text expression ngrams() uses internally;
+    # measured 3.3x on the gram stream at 20k docs, identical row set).
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0], NOT empty (the
+    # round-5 rule) — short docs must short-circuit to an empty array
+    # exactly like ngrams() does.
+    count = F.size("_t") - (n - 1)
     pos = base.select(
-        "doc_id", F.posexplode(ngrams("_t", n)).alias("_i0", "_g")
+        "doc_id",
+        "_t",
+        F.explode(
+            F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_i"),
     ).select(
         "doc_id",
-        (F.col("_i0") + 1).alias("_i"),
-        _gram_hash(F.col("_g")).alias("gh"),
+        "_i",
+        _gram_hash(F.concat_ws(" ", F.slice("_t", F.col("_i"), n))).alias("gh"),
     )
     # two consumers (owner aggregate + occurrence join): pin the md5 pass
     pos = pos.localCheckpoint(eager=True)

@@ -75,15 +75,17 @@ def quality_stage(clean: DataFrame) -> DataFrame:
     )
     from ..operators.quality_clf import score_quality
 
+    # round-9: the gopher-keep + margin columns are pure per-row
+    # expressions over `clean` — computed IN PLACE instead of the former
+    # self-join of a (doc_id, _kq, margin) projection back onto clean
+    # (same 1:1 rows, one shuffle join fewer; guide §2.4). Only the
+    # repetition keep still joins: its kernel emits one row per (doc, n)
+    # and short docs legitimately have no row.
     feats = gopher_quality_features(F.col("text"))
-    gq = clean.select(
-        "doc_id",
-        gopher_keep(feats).alias("_kq"),
-        F.round(score_quality(F.col("text")), 6).alias("margin"),
-    )
     rep = gopher_repetition_keep(gopher_repetition_features(clean))
     return (
-        clean.join(gq, "doc_id")
+        clean.withColumn("_kq", gopher_keep(feats))
+        .withColumn("margin", F.round(score_quality(F.col("text")), 6))
         .join(rep, "doc_id", "left")
         .filter(
             F.col("_kq")
