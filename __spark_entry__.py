@@ -36,8 +36,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth.spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synth.spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    # spread=False for consumers whose corpus-side work is trivial relative
+    # to the spread exchange (embedding_topk: ~6k cosines — measured slower
+    # WITH the exchange; see OPTIMIZATION_r09.md #6)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return synth.spread_scan(emb) if spread else emb
 
 
 # ---------------------------------------------------------------------------
@@ -861,7 +865,7 @@ group by 1, 2
 
 # Q13: brute-force cosine top-k over embeddings
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=False)
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
     )
