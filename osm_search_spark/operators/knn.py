@@ -101,7 +101,14 @@ def knn_join(
         C.cell_ix(C.latlng_to_cell(olat, olon, res)).alias("oix"),
         C.cell_iy(C.latlng_to_cell(olat, olon, res)).alias("oiy"),
         obj_id, olat, olon,
-    ).persist()
+    )
+    # Round-9: persist is DEFERRED until a second round is actually coming
+    # (guide §5: caching pays only when reused). The common dense-probe
+    # case finishes in round 1 having scanned the object table exactly
+    # once, with no cache-materialization write; multi-round cases persist
+    # before round 2 and trade one extra scan (the extent agg) for cached
+    # reads in every later round.
+    obj_persisted = False
 
     # object domain extent -> per-probe ring cap (ADVICE r01: without this a
     # probe far from every object doubles the ring forever)
@@ -271,6 +278,21 @@ def knn_join(
                 probe_id, "rank", obj_id, olat, olon, "dist_km"
             )
         )
+        # Fast-path exit (round 9, guide §2.4): when every pending probe
+        # appears in ranked as finished (fin is probe-uniform and fin
+        # probe ids are a subset of pend ids; rank 1 occurs exactly once
+        # per probe in both ranked shapes), the next pend is provably
+        # empty — two O(tiny) counts over already-checkpointed frames
+        # replace the anti-join pend checkpoint + isEmpty jobs the common
+        # finish-in-one-round case was paying. Duplicate probe ids or
+        # candidate-less exhaustion finishes simply fail the equality and
+        # fall through to the exact pend update below.
+        if (
+            ranked.filter(F.col("fin") & (F.col("rank") == 1)).count()
+            == pend.count()
+        ):
+            carried = None
+            break
         fin_ids = ranked.filter("fin").select(probe_id)
         pend = pend.filter(~exhausted_cond).join(
             fin_ids, probe_id, "leftanti"
@@ -278,11 +300,17 @@ def knn_join(
         if pend.isEmpty():
             carried = None
             break
+        if not obj_persisted:
+            # another round IS coming: pin the object index now so every
+            # later round (and the extent agg below) reads the cache
+            # instead of re-scanning the source.
+            obj = obj.persist()
+            obj_persisted = True
         if not have_extent:
             # another round IS coming: attach the domain extent exactly
-            # once, reading the persisted obj index the round-1 join just
-            # built. Deliberately AFTER the isEmpty check — the common
-            # finish-in-one-round case never pays the extent aggregate.
+            # once, reading the persisted obj index. Deliberately AFTER
+            # the isEmpty check — the common finish-in-one-round case
+            # never pays the extent aggregate.
             pend = (
                 pend.drop("r_needed")
                 .crossJoin(F.broadcast(ext))
@@ -315,7 +343,8 @@ def knn_join(
     # every done part filters a checkpointed frame — the plan no longer
     # references the cached object index, so it can be released with no
     # extra materialization job
-    obj.unpersist()
+    if obj_persisted:
+        obj.unpersist()
     return out
 
 

@@ -138,3 +138,36 @@ def test_radius_knn_extreme_latitude(spark):
     assert len(res) == want and want >= 5
     for r in res:
         assert r["dist_km"] <= 3.0
+
+
+def test_single_round_fast_path_skips_pend_jobs(spark, monkeypatch):
+    # round 9: a probe set that finishes entirely in round 1 must take the
+    # fast-path exit (two tiny counts) — no isEmpty probe job, and the
+    # object index is never persisted (deferred persist: caching pays only
+    # when a second round actually reads it). A far probe that needs many
+    # rounds must persist the index exactly once and release it on return.
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    persists, empties = [], []
+    orig_persist, orig_empty = CDF.persist, CDF.isEmpty
+    monkeypatch.setattr(
+        CDF, "persist",
+        lambda self, *a, **k: (persists.append(1), orig_persist(self, *a, **k))[1],
+    )
+    monkeypatch.setattr(
+        CDF, "isEmpty",
+        lambda self: (empties.append(1), orig_empty(self))[1],
+    )
+
+    objects = _objects(spark)
+    dense = _probes(spark, -6.05, 106.6)  # inside the random cloud
+    res = knn_join(dense, objects, k=3, res=14).collect()
+    assert len(res) == 3
+    assert not persists, "single-round call must not persist the index"
+    assert not empties, "single-round call must exit via the count fast path"
+
+    persists.clear()
+    far = _probes(spark, -7.55, 110.8)  # ~200 km away: multi-round
+    res2 = knn_join(far, objects, k=3, res=14).collect()
+    assert len(res2) == 3
+    assert len(persists) == 1, "multi-round call persists the index once"
