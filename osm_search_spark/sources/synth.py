@@ -62,7 +62,22 @@ def spread_scan(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     row-order-insensitive."""
     sc = df.sparkSession.sparkContext
     want = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2.0, want * min_fraction):
+    # Scan-width estimate from optimizer statistics (round 9): bytes /
+    # maxPartitionBytes ~ the scan's split count, the same quantity the
+    # former `df.rdd.getNumPartitions()` probe measured, but WITHOUT
+    # building a physical plan + JavaRDD + Python RDD wrapper per call
+    # (~40-60 ms of driver latency each; the stats call is ~10 ms and its
+    # analysis work is reused when the query runs). Estimates ignore
+    # per-file open cost, which only ever UNDER-counts tasks — i.e. errs
+    # toward spreading, which is the safe direction at test scale and
+    # unreachable at production scale (TB-sized stats >> cores/2).
+    jqe = df._jdf.queryExecution()
+    size_bytes = int(str(jqe.optimizedPlan().stats().sizeInBytes()))
+    max_split = int(
+        df.sparkSession._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+    )
+    est_tasks = max(1, -(-size_bytes // max(1, max_split)))
+    if est_tasks >= max(2.0, want * min_fraction):
         return df
     return df.repartition(want)
 

@@ -269,3 +269,31 @@ def test_moran_moments_join_is_broadcast(spark):
         # non-foldable constant key (round-3/8 rule): BNLJ would drop
         # the z-score projection out of whole-stage codegen
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_spread_scan_stats_guard(spark, tmp_path):
+    # round 9: the spread guard reads optimizer statistics instead of
+    # materializing an RDD. Both branches: a tiny single-row-group scan
+    # spreads to defaultParallelism; the same scan with a small
+    # maxPartitionBytes (est. split count >= cores/2, the production-scale
+    # shape) must come back untouched — no repartition Exchange.
+    from osm_search_spark.sources.synth import spread_scan
+
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(0, 10000).write.mode("overwrite").parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        df = spark.read.parquet(p)
+        out = spread_scan(df)
+        assert out is not df, "tiny scan must spread"
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        # shrink splits so the SAME file estimates as a wide scan
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        df2 = spark.read.parquet(p)
+        assert spread_scan(df2) is df2, "wide-estimate scan must be a no-op"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
